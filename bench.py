@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing includes plan construction + execution (count() to force
+full evaluation without driver-side result transfer overhead skew).
+A warmup query first amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from thisishappening_spark.queries import REGISTRY
+from thisishappening_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [name for name in sorted(REGISTRY)]
+
+
+def main() -> None:
+    spark = get_spark(app_name="tih-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: force JVM init, parquet footer reads, codegen compilation.
+    REGISTRY["q01_pricing_summary"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

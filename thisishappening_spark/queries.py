@@ -1,0 +1,603 @@
+"""Benchmark/correctness query registry.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+oracle string (DuckDB dialect-compatible) over the same parquet tables.
+The driver executes both at sf=0.01 and hash-compares values, so every
+query here follows two discipline rules:
+
+1. **Deterministic cross-engine numerics.** Sums/averages over doubles are
+   order-dependent in floating point, and Spark's partial aggregation order
+   differs from DuckDB's. All money/quantity aggregates therefore cast to
+   exact DECIMAL before summing and cast the final result back to DOUBLE —
+   bit-identical on both engines. Transcendental math (exp, cosine) is
+   rounded to a few decimals instead.
+2. **Stable names.** Every computed column is aliased identically in the
+   DataFrame program and the SQL oracle.
+
+Operator IDs in docstrings refer to SURVEY.md §2 (the reference inventory,
+reference files cited there).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from thisishappening_spark.sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def dec(col, scale: int = 2):
+    """Cast to exact decimal for order-independent, cross-engine-exact sums."""
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dsum(col, scale: int = 2):
+    return F.sum(dec(col, scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scans, filters, aggregation (SURVEY §2.2 Q1/Q2, §2.4 A1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+                * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate (A1 generalization).
+
+    Scale notes: single scan, map-side partial aggregation on a tiny key
+    space (|returnflag × linestatus| ≤ 9) → the shuffle moves only partial
+    aggregates, not rows. Filter and 7-column projection push to parquet.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = dec(F.col("l_extendedprice"))
+    disc_price = (price * dec(F.lit(1) - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (disc_price * dec(F.lit(1) + F.col("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k (O1/O3).
+
+    Scale notes: customer filter applies before the join (Catalyst pushes
+    it); orders⋈lineitem is the big shuffle join on orderkey — co-located
+    if both tables are bucketed by orderkey in a real deployment. Top-k is
+    TakeOrderedAndProject: per-partition heap, no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (
+        dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_nation_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims (SURVEY §2.3).
+
+    Scale notes: region/nation/supplier are broadcast (F.broadcast) so the
+    only shuffle joins are the fact-fact ones; final groupBy key space is
+    ≤|nation| so the agg shuffle is trivial.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    revenue = (
+        dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_semi_join_bigticket",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_semi_join_bigticket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J4-style evidence lookup, SURVEY §2.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_anti_join_dormant_customers",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (Q12 ID-list-delete complement, SURVEY §2.2)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_event_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2-style count/min/max/sum + count-distinct over the stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "q_setop_click_not_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_setop_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (SURVEY §2.7): EXCEPT DISTINCT."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "q_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set aggregation (engine surface beyond reference, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / ordered computation (SURVEY §2.5 W1-W4, §2.6 O1-O4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk
+    FROM (SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders) t
+    WHERE rnk <= 3 AND o_custkey < 100
+    """,
+)
+def q_window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (O4 keep-N-rows pattern, data_base.py:464-482)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("o_custkey") < 100))
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "q_window_lag_value_delta",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS sum_abs_delta,
+           COUNT(*) AS n_deltas
+    FROM (SELECT user_id,
+                 ABS(value - LAG(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)) AS delta
+          FROM events) t
+    WHERE delta IS NOT NULL AND user_id < 30
+    GROUP BY user_id
+    """,
+)
+def q_window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window — the J3 current-vs-previous-window comparison pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("delta", F.abs(F.col("value") - F.lag("value").over(w)))
+        .filter(F.col("delta").isNotNull() & (F.col("user_id") < 30))
+        .groupBy("user_id")
+        .agg(
+            dsum(F.col("delta")).alias("sum_abs_delta"),
+            F.count(F.lit(1)).alias("n_deltas"),
+        )
+    )
+
+
+@query(
+    "q_decay_weights",
+    """
+    SELECT user_id,
+           ROUND(CAST(SUM(EXP(-(rn - 1) * 0.5)) AS DOUBLE), 6) AS total_weight,
+           COUNT(*) AS n_events
+    FROM (SELECT user_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) t
+    GROUP BY user_id
+    """,
+)
+def q_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 exponential activity decay (reference data_utils.py:129-138).
+
+    weight_i = exp(-i·factor), i = rank of the row within its user ordered
+    by time — expressed as a window row_number, entirely JVM-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("wt", F.exp(-(F.col("rn") - 1) * F.lit(0.5)))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("wt"), 6).alias("total_weight"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_keep_newest_n",
+    """
+    SELECT event_id FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def q_keep_newest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 keep-newest-N retention (reference data_base.py:464-482): the keep set."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy(F.desc("ts_ns"), F.desc("event_id")).select("event_id").limit(100)
+
+
+@query(
+    "q_topk_events_by_value",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 5
+    """,
+)
+def q_topk_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-k (O1-O3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .select("event_id", "user_id", "event_type", F.col("value").cast("double").alias("value"))
+        .limit(5)
+    )
+
+
+@query(
+    "q_mode_event_type_per_user",
+    """
+    SELECT user_id, event_type AS top_type, c AS n
+    FROM (SELECT user_id, event_type, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY COUNT(*) DESC, event_type) AS rnk
+          FROM events GROUP BY user_id, event_type) t
+    WHERE rnk = 1 AND user_id < 25
+    """,
+)
+def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 mode/most-common (reference get_place_name tweet_utils.py:564-583).
+
+    Deterministic tie-break (count desc, value asc) instead of engine-varying
+    `mode()` so the oracle compare is stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") == 1) & (F.col("user_id") < 25))
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("c").alias("n"))
+    )
+
+
+@query(
+    "q_collect_sorted_ids",
+    """
+    SELECT user_id, STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY event_id DESC) AS ids
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id
+    """,
+)
+def q_collect_sorted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/O6 collect_list + sort desc (reference get_status_ids tweet_utils.py:586-594,
+    sort at :718)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("event_id"), asc=False),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal / JSON / retention (SURVEY §2.2 Q1/Q10/Q11, §2.8 F1/F23, S4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_bucket_hourly",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 sliding-time-range filter + tumbling bucket aggregation (ST2 windows).
+
+    The reference computes windows with `created_at BETWEEN ts-1h AND ts`
+    (data_base.py:334-342); bucketed date_trunc is the batch/streaming
+    generalization that scales (partition prune on ts, 1 shuffle on bucket).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_sliding_window_counts",
+    """
+    SELECT t.anchor, COUNT(e.event_id) AS n_last_24h
+    FROM (SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS anchor FROM events GROUP BY 1) t
+    LEFT JOIN events e
+      ON e.ts > t.anchor - INTERVAL 24 HOURS AND e.ts <= t.anchor
+    GROUP BY t.anchor
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 exact semantics: anchored sliding window `(anchor-24h, anchor]`
+    (reference count_tweets data_base.py:276-305), one count per anchor —
+    a range join of anchors × events (J4 family).
+
+    Scale notes: anchor side is tiny (days) → broadcast; events side scans
+    once. At 100 TB the range predicate prunes date partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("anchor")).agg(F.lit(1))
+    anchors = F.broadcast(anchors.select("anchor"))
+    joined = anchors.join(
+        ev,
+        (ev.ts > anchors.anchor - F.expr("INTERVAL 24 HOURS")) & (ev.ts <= anchors.anchor),
+        "left",
+    )
+    return joined.groupBy("anchor").agg(F.count(F.col("event_id")).alias("n_last_24h"))
+
+
+@query(
+    "q_json_props_sum",
+    """
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 JSON projection: nested-field extraction as column expressions
+    (reference parses nested status dicts, tweet_utils.py:137-178)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    )
+
+
+@query(
+    "q_retention_cutoff",
+    """
+    SELECT event_type, COUNT(*) AS n_expired
+    FROM events
+    WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 7 DAYS
+    GROUP BY event_type
+    """,
+)
+def q_retention_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 delete-older-than retention predicate (reference
+    data_base.py:430-462) — the would-be-deleted set, as partition-prunable
+    timestamp comparison against a scalar subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_expired"))
+    )
+
+
+@query(
+    "q_local_day",
+    """
+    SELECT CAST(ts - INTERVAL 5 HOURS AS DATE) AS local_day, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_local_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11/F23 UTC→local calendar-day filter (reference app.py:489-506).
+
+    Fixed −5h offset (the reference's America/New_York winter offset) keeps
+    the oracle engine-independent; `plans.temporal.to_local_day` exposes the
+    full zone-aware variant via from_utc_timestamp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.col("ts") - F.expr("INTERVAL 5 HOURS")).cast("date").alias("local_day")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,70 @@
+"""Table readers over the driver's parquet test data.
+
+The reference delegates all storage to two PostgreSQL tables
+(reference data_base.py:37-54, 215-236). Here storage is columnar parquet
+read through Spark's vectorized reader: predicate pushdown and column
+pruning reach the scan via Catalyst, which replaces the Postgres planner
+(SURVEY.md §4.1). At 100 TB the same code path applies — tables become
+date-partitioned parquet/Delta directories and `spark.read.parquet` picks
+up partition pruning automatically; nothing here assumes single-file
+tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor; join
+# planning hints use this (SURVEY.md §2.3).
+BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-truncate to
+    a microsecond timestamp (the same truncation DuckDB applies casting its
+    TIMESTAMP_NS to TIMESTAMP). `ts_ns` keeps full nanosecond resolution for
+    deterministic orderings."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") != "bigint":  # reader honored nanos natively
+        return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
