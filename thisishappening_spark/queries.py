@@ -370,7 +370,8 @@ def q_window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decay_weights",
     """
     SELECT user_id,
-           ROUND(CAST(SUM(EXP(-(rn - 1) * 0.5)) AS DOUBLE), 6) AS total_weight,
+           ROUND(CAST(SUM(CAST(EXP(-(rn - 1) * 0.5) AS DECIMAL(28,15))) AS DOUBLE), 6)
+               AS total_weight,
            COUNT(*) AS n_events
     FROM (SELECT user_id,
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -379,21 +380,31 @@ def q_window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 exponential activity decay (reference data_utils.py:129-138).
+    """W1 exponential activity decay (reference data_utils.py:129-138),
+    implemented by functions.weights.with_activity_weight.
 
     weight_i = exp(-i·factor), i = rank of the row within its user ordered
     by time — expressed as a window row_number, entirely JVM-side.
+    Each exp term is quantized to DECIMAL(28,15) before summing so the sum
+    is order-independent (Spark partial-agg order differs from DuckDB's);
+    the final ROUND(...,6) absorbs last-ulp libm differences between
+    engines.
     """
+    from thisishappening_spark.functions.weights import with_activity_weight
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("wt", F.exp(-(F.col("rn") - 1) * F.lit(0.5)))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.sum("wt"), 6).alias("total_weight"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    weighted = with_activity_weight(
+        ev,
+        weight_factor_user=0.5,
+        user_col="user_id",
+        time_col="ts_ns",
+        order_cols=("event_id",),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.round(F.sum(F.col("weight").cast("decimal(28,15)")).cast("double"), 6).alias(
+            "total_weight"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
@@ -547,17 +558,21 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_props_sum",
     """
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
 def q_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 JSON projection: nested-field extraction as column expressions
-    (reference parses nested status dicts, tweet_utils.py:137-178)."""
+    """S4 JSON projection: typed `from_json` extraction, not per-row string
+    probing (reference parses nested status dicts, tweet_utils.py:137-178).
+
+    Oracle note: DuckDB widens SUM(BIGINT) to HUGEINT; the outer CAST pins
+    both engines to int64 so the driver's type-sensitive value-hash matches.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
-    )
+    props = F.from_json(F.col("props"), "k BIGINT")
+    return ev.groupBy("event_type").agg(F.sum(props.getField("k")).alias("sum_k"))
 
 
 @query(

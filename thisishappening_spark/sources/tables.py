@@ -45,12 +45,25 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
     rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-truncate to
     a microsecond timestamp (the same truncation DuckDB applies casting its
-    TIMESTAMP_NS to TIMESTAMP). `ts_ns` keeps full nanosecond resolution for
-    deterministic orderings."""
+    TIMESTAMP_NS to TIMESTAMP). `ts_ns` keeps nanosecond resolution for
+    deterministic orderings in the bigint branch; if the reader honors nanos
+    natively, `ts_ns` is microsecond-derived (sub-microsecond digits zero) —
+    still a strictly monotone ordering key for this data.
+
+    The legacy conf is only flipped when the reader actually rejects the
+    nanos timestamp, so a session that already handles it (native nanos or
+    pre-set conf) is never mutated. It must then stay set for the lifetime
+    of the scan — Spark consults it at execution, not just plan time, so
+    restore-after-read would break the returned DataFrame.
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force footer/schema resolution now
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") != "bigint":  # reader honored nanos natively
         return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
