@@ -1,0 +1,151 @@
+"""The reference's most-called query path as parameterized DataFrame plans.
+
+`get_recent_tweets` (reference data_base.py:307-382) is called 4× per
+arriving tweet; `count_tweets` (:276-305), `get_recent_events` (:90-116),
+`get_most_recent_*`/`get_oldest_tweet` (:118-130, :384-416) round out the
+surface. Each builder here composes the exact predicate stack (Q1-Q8 in
+SURVEY.md §2.2) onto any tweets-shaped DataFrame and lets Catalyst push
+every filter to the scan.
+
+Scale notes: every query carries a time bound (Q1), which on a
+date-partitioned table becomes partition pruning — the 100 TB plan reads
+only the window's partitions. The bbox (Q2) and flag predicates are
+parquet row-group min/max prunable. `most_recent`/`oldest` (W4/O3) compile
+to TakeOrderedAndProject (per-partition top-1 + merge), never a full sort.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from thisishappening_spark.functions.geo import BoundingBox, inbounds_half_open
+
+
+def _time_window(ts_col: Column, timestamp: dt.datetime, hours: float) -> Column:
+    """Q1: closed sliding interval `[timestamp - hours, timestamp]`
+    (reference data_base.py:334-342)."""
+    start = timestamp - dt.timedelta(hours=hours)
+    return (ts_col >= F.lit(start)) & (ts_col <= F.lit(timestamp))
+
+
+def recent_tweets(
+    tweets: DataFrame,
+    timestamp: dt.datetime,
+    hours: float = 1,
+    bounding_box: BoundingBox | None = None,
+    place_type: list[str] | None = None,
+    has_coords: bool | None = None,
+    place_type_or_coords: bool = True,
+    include_quote_status: bool = True,
+    include_reply_status: bool = True,
+    include_deleted_status: bool = False,
+    time_col: str = "created_at",
+) -> DataFrame:
+    """Mirror of get_recent_tweets (reference data_base.py:307-382),
+    newest-first (O1).
+
+    Predicate semantics preserved exactly:
+    - Q2 bbox is HALF-OPEN (`>= west AND < east AND >= south AND < north`,
+      data_base.py:344-353) — deliberately different from the admission
+      filter's closed interval P1 (SURVEY §7.4 quirk list).
+    - Q3: when `place_type_or_coords` and BOTH args given, the two combine
+      with OR; otherwise each applies independently (data_base.py:355-368).
+    - Q4/Q5 use `IS NOT TRUE` — NULL rows are KEPT (data_base.py:370-376).
+    - Q6 `deleted_at IS NULL` (data_base.py:378-380).
+    """
+    df = tweets.filter(_time_window(F.col(time_col), timestamp, hours))
+
+    if bounding_box is not None:
+        df = df.filter(
+            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
+        )
+
+    if place_type_or_coords and place_type is not None and has_coords is not None:
+        df = df.filter(
+            F.col("place_type").isin(place_type)
+            | F.col("has_coords").eqNullSafe(F.lit(has_coords))
+        )
+    else:
+        if place_type is not None:
+            df = df.filter(F.col("place_type").isin(place_type))
+        if has_coords is not None:
+            df = df.filter(F.col("has_coords").eqNullSafe(F.lit(has_coords)))
+
+    if not include_quote_status:
+        # IS NOT TRUE keeps NULLs — not the same as == False
+        df = df.filter(~F.col("is_quote_status").eqNullSafe(F.lit(True)))
+    if not include_reply_status:
+        df = df.filter(~F.col("is_reply_status").eqNullSafe(F.lit(True)))
+    if not include_deleted_status:
+        df = df.filter(F.col("deleted_at").isNull())
+
+    return df.orderBy(F.desc(time_col))
+
+
+def count_tweets(
+    tweets: DataFrame,
+    timestamp: dt.datetime,
+    hours: float = 0,
+    bounding_box: BoundingBox | None = None,
+    time_col: str = "created_at",
+) -> DataFrame:
+    """A1: scalar count with Q1 + Q2 filters (reference data_base.py:276-305)."""
+    df = tweets.filter(_time_window(F.col(time_col), timestamp, hours))
+    if bounding_box is not None:
+        df = df.filter(
+            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
+        )
+    return df.agg(F.count("status_id_str").alias("n_tweets"))
+
+
+def recent_events(
+    events: DataFrame,
+    timestamp: dt.datetime,
+    hours: float = 1,
+    event_type: list[str] | None = None,
+    time_col: str = "timestamp",
+) -> DataFrame:
+    """Q7: time window + `event_type IN (...) OR event_type IS NULL`
+    (reference data_base.py:90-116), newest-first (O2)."""
+    df = events.filter(_time_window(F.col(time_col), timestamp, hours))
+    if event_type is not None:
+        df = df.filter(
+            F.col("event_type").isin(event_type) | F.col("event_type").isNull()
+        )
+    return df.orderBy(F.desc(time_col))
+
+
+def event_by_id(events: DataFrame, event_id: int, id_col: str = "id") -> DataFrame:
+    """Q8 PK lookup (reference data_base.py:134-139)."""
+    return events.filter(F.col(id_col) == F.lit(event_id))
+
+
+def most_recent_tweet(
+    tweets: DataFrame,
+    bounding_box: BoundingBox | None = None,
+    time_col: str = "created_at",
+) -> DataFrame:
+    """W4/O3 global top-1 by time desc (reference data_base.py:401-416)."""
+    df = tweets
+    if bounding_box is not None:
+        df = df.filter(
+            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
+        )
+    return df.orderBy(F.desc(time_col)).limit(1)
+
+
+def oldest_tweet(
+    tweets: DataFrame,
+    bounding_box: BoundingBox | None = None,
+    time_col: str = "created_at",
+) -> DataFrame:
+    """O3 global top-1 by time asc (reference data_base.py:384-399)."""
+    df = tweets
+    if bounding_box is not None:
+        df = df.filter(
+            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
+        )
+    return df.orderBy(F.asc(time_col)).limit(1)

@@ -1,18 +1,6 @@
-"""Benchmark/correctness query registry.
-
-Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
-oracle string (DuckDB dialect-compatible) over the same parquet tables.
-The driver executes both at sf=0.01 and hash-compares values, so every
-query here follows two discipline rules:
-
-1. **Deterministic cross-engine numerics.** Sums/averages over doubles are
-   order-dependent in floating point, and Spark's partial aggregation order
-   differs from DuckDB's. All money/quantity aggregates therefore cast to
-   exact DECIMAL before summing and cast the final result back to DOUBLE —
-   bit-identical on both engines. Transcendental math (exp, cosine) is
-   rounded to a few decimals instead.
-2. **Stable names.** Every computed column is aliased identically in the
-   DataFrame program and the SQL oracle.
+"""Relational-core correctness queries (scans, joins, aggregations,
+windows, set ops, temporal/JSON) — see registry.py for the cross-engine
+determinism rules every entry follows.
 
 Operator IDs in docstrings refer to SURVEY.md §2 (the reference inventory,
 reference files cited there).
@@ -20,40 +8,12 @@ reference files cited there).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from thisishappening_spark.registry import dec, dsum, query
 from thisishappening_spark.sources.tables import load_table
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: str | None):
-    def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle)
-        return fn
-
-    return deco
-
-
-def dec(col, scale: int = 2):
-    """Cast to exact decimal for order-independent, cross-engine-exact sums."""
-    return col.cast(f"decimal(18,{scale})")
-
-
-def dsum(col, scale: int = 2):
-    return F.sum(dec(col, scale)).cast("double")
 
 
 # ---------------------------------------------------------------------------

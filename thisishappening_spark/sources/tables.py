@@ -50,20 +50,23 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     natively, `ts_ns` is microsecond-derived (sub-microsecond digits zero) —
     still a strictly monotone ordering key for this data.
 
-    The legacy conf is only flipped when the reader actually rejects the
-    nanos timestamp, so a session that already handles it (native nanos or
-    pre-set conf) is never mutated. It must then stay set for the lifetime
-    of the scan — Spark consults it at execution, not just plan time, so
+    The legacy conf is only flipped when the footer actually declares a
+    nanos timestamp (checked driver-side via the pyarrow footer — no Spark
+    job, no failed-task noise), so a session whose reader handles it is
+    never mutated. It must then stay set for the lifetime of the scan —
+    Spark consults it at execution, not just plan time, so
     restore-after-read would break the returned DataFrame.
     """
+    import pyarrow.dataset as pa_ds
+    import pyarrow.types as pa_types
     from pyspark.sql import functions as F
 
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force footer/schema resolution now
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        arrow_schema = pa_ds.dataset(path, format="parquet").schema
+        ts_field = arrow_schema.field("ts") if "ts" in arrow_schema.names else None
+        if ts_field is not None and pa_types.is_timestamp(ts_field.type) and ts_field.type.unit == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") != "bigint":  # reader honored nanos natively
         return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
