@@ -68,11 +68,21 @@ class AdmissionColumns:
 
 
 def _ignore_words_pattern(words: tuple[str, ...]) -> str:
-    """Join word regexes into one case-insensitive alternation. The
-    reference searches each cleaned token against each pattern
-    (tweet_utils.py:231-237); `(?i)` + alternation over the raw body is
-    equivalent for \\b-wrapped word patterns since \\b anchors at token
-    edges either way."""
+    """Join word regexes into one case-insensitive alternation.
+
+    ACCEPTED DEVIATION (documented, not a bug): the reference matches each
+    pattern against clean_text()-normalized tokens (tweet_utils.py:231-237
+    — after URL removal, ellipsis-truncated-token removal, unidecode
+    transliteration), while this predicate runs over the RAW body. For
+    \\b-wrapped word patterns the two mostly agree (\\b anchors at token
+    edges either way), but (a) a blocked word appearing only inside a URL
+    matches here and not in the reference, (b) a unicode-obfuscated word
+    the reference blocks after transliteration ('errór' → 'error') is
+    admitted here, and (c) ellipsis-truncated tokens the reference drops
+    are matched here. The raw-body predicate is the scan-pushdown-friendly
+    pre-filter; exact parity is available by re-running the predicate over
+    `functions.text.clean_text_column` output (see operators/tokens.py) as
+    a second-stage filter."""
     return "(?i)(" + "|".join(words) + ")"
 
 
@@ -139,8 +149,14 @@ def admission_checks(cfg: AdmissionConfig) -> dict[str, Column]:
                 for blon, blat in cfg.ignore_lon_lat
             ]
         else:
+            # coalesce(..., True): with NULL coords the reference's
+            # expression evaluates truthy (keep) — without the coalesce the
+            # three-valued `(NULL != x) | (NULL != y)` would DROP the row,
+            # contradicting the NULL-safety contract of admission_predicate.
             conds = [
-                (lon != F.lit(blon)) | (lat != F.lit(blat))
+                F.coalesce(
+                    (lon != F.lit(blon)) | (lat != F.lit(blat)), F.lit(True)
+                )
                 for blon, blat in cfg.ignore_lon_lat
             ]
         acc = conds[0]

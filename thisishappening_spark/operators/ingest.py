@@ -104,7 +104,14 @@ STATUS_SCHEMA = T.StructType(
 
 def tweet_body(s: Column) -> Column:
     """F2: extended_tweet.full_text → full_text → text → ''
-    (reference tweet_utils.py:95-104)."""
+    (reference tweet_utils.py:95-104).
+
+    ACCEPTED DEVIATION: the reference dispatches on KEY PRESENCE — a status
+    carrying `"full_text": null` alongside a non-null `"text"` yields
+    tweet_body=None there (then rejected by the empty-body check P14),
+    whereas coalesce falls through to `text` and admits it. JSON-null
+    top-level text fields do not occur in the documented status format;
+    coalesce implements the evident intent and is kept deliberately."""
     return F.coalesce(
         s.getField("extended_tweet").getField("full_text"),
         s.getField("full_text"),

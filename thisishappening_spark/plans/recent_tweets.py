@@ -43,9 +43,15 @@ def recent_tweets(
     include_reply_status: bool = True,
     include_deleted_status: bool = False,
     time_col: str = "created_at",
+    ordered: bool = True,
 ) -> DataFrame:
     """Mirror of get_recent_tweets (reference data_base.py:307-382),
-    newest-first (O1).
+    newest-first (O1) when ``ordered``.
+
+    ``ordered=False`` skips the O1 sort for pipeline consumers (KDE
+    weighting, window counting) that don't need order — the unconditional
+    global range-partition sort would otherwise dominate the hot path at
+    scale. The user-facing query keeps the reference's newest-first default.
 
     Predicate semantics preserved exactly:
     - Q2 bbox is HALF-OPEN (`>= west AND < east AND >= south AND < north`,
@@ -82,7 +88,7 @@ def recent_tweets(
     if not include_deleted_status:
         df = df.filter(F.col("deleted_at").isNull())
 
-    return df.orderBy(F.desc(time_col))
+    return df.orderBy(F.desc(time_col)) if ordered else df
 
 
 def count_tweets(

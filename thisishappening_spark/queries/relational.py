@@ -498,21 +498,35 @@ def q_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 exact semantics: anchored sliding window `(anchor-24h, anchor]`
-    (reference count_tweets data_base.py:276-305), one count per anchor —
-    a range join of anchors × events (J4 family).
+    (reference count_tweets data_base.py:276-305), one count per anchor.
 
-    Scale notes: anchor side is tiny (days) → broadcast; events side scans
-    once. At 100 TB the range predicate prunes date partitions.
+    Plan: because anchors are day-truncated and the window is exactly
+    24 h, each event contributes to exactly ONE anchor — the next day
+    boundary at or after its timestamp. Assigning that anchor as a
+    derived day key turns the range join into groupBy(day) + a tiny
+    EQUI-join of day keys (both sides ≤ #days rows). The naive
+    formulation — broadcast nested-loop anchors × events — tests every
+    event against every anchor and becomes a scan-multiplier at 100 TB
+    with years of anchors; this one scans events once, partial-aggregates
+    map-side, and shuffles only day-level counts.
     """
     ev = load_table(spark, sf_dir, "events")
-    anchors = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("anchor")).agg(F.lit(1))
-    anchors = F.broadcast(anchors.select("anchor"))
-    joined = anchors.join(
-        ev,
-        (ev.ts > anchors.anchor - F.expr("INTERVAL 24 HOURS")) & (ev.ts <= anchors.anchor),
-        "left",
+    day = F.date_trunc("day", F.col("ts"))
+    # (anchor-24h, anchor]: an event at exactly midnight belongs to its own
+    # day-start anchor (closed upper bound); all others to the next one.
+    contrib = F.when(F.col("ts") == day, day).otherwise(
+        day + F.expr("INTERVAL 24 HOURS")
     )
-    return joined.groupBy("anchor").agg(F.count(F.col("event_id")).alias("n_last_24h"))
+    per_day = ev.groupBy(contrib.alias("anchor")).agg(
+        F.count(F.col("event_id")).alias("cnt")
+    )
+    anchors = ev.select(day.alias("anchor")).distinct()
+    return (
+        anchors.join(F.broadcast(per_day), "anchor", "left")
+        .select(
+            "anchor", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_last_24h")
+        )
+    )
 
 
 @query(

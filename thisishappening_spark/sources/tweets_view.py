@@ -34,8 +34,12 @@ TWEET_DERIVATION: list[tuple[str, str]] = [
     ("status_id_str", "CAST(event_id AS STRING)"),
     ("user_id_str", "CAST(user_id AS STRING)"),
     ("user_screen_name", "CONCAT('user_', CAST(user_id AS STRING))"),
-    ("created_at", "ts"),
-    ("deleted_at", "CASE WHEN event_id % 11 = 0 THEN ts ELSE NULL END"),
+    # CAST(ts AS TIMESTAMP): no-op in Spark (ts is already µs), ns→µs
+    # truncation in DuckDB — both engines see identical microsecond values,
+    # so boundary predicates and ORDER BY created_at tie-breaks agree even
+    # when two rows share a microsecond but differ in nanoseconds.
+    ("created_at", "CAST(ts AS TIMESTAMP)"),
+    ("deleted_at", "CASE WHEN event_id % 11 = 0 THEN CAST(ts AS TIMESTAMP) ELSE NULL END"),
     ("tweet_body", "CASE WHEN event_id % 13 = 0 THEN '' ELSE CONCAT(event_type, ' happening now ', CAST(event_id % 50 AS STRING)) END"),
     ("tweet_language", "CASE WHEN user_id % 4 = 0 THEN 'en' WHEN user_id % 4 = 1 THEN 'ja' WHEN user_id % 4 = 2 THEN 'und' ELSE NULL END"),
     ("quoted_text", "CASE WHEN event_id % 3 = 1 THEN CONCAT('quoted ', event_type) ELSE '' END"),
@@ -66,8 +70,12 @@ def tweets_cte(body_sql: str) -> str:
 
 
 def load_tweets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tweets view as a DataFrame — same expressions via selectExpr, so
-    Catalyst still pushes any predicate on a derived column down to the
-    underlying integer columns' parquet scan where foldable."""
+    """The tweets view as a DataFrame — same expressions via selectExpr.
+
+    Pushdown note: predicates on derived columns evaluate post-scan —
+    Catalyst cannot invert e.g. `-71.2 + (event_id % 400) * 0.001 >= west`
+    into an `event_id` scan predicate. That is fine for this test
+    scaffolding view (sf0.01); the real ingest path stores materialized
+    columns so filters push to the parquet scan directly."""
     ev = load_table(spark, sf_dir, "events")
     return ev.selectExpr(*[f"{expr} AS {name}" for name, expr in TWEET_DERIVATION])
