@@ -1,0 +1,353 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference engine has no document store, but a training-data pipeline at
+100 TB needs dedup as a first-class operator. Everything here is expressed
+as DataFrame transformations whose shuffles are bounded by design:
+
+- **Exact dedup** shuffles one 32-hex-char key per document (never the
+  text): normalize → ``md5`` → groupBy(hash) → keep min(doc_id).
+- **N-gram Jaccard** uses the inverted-index pattern: explode distinct
+  shingles, equi-join on the shingle, count per pair. The join key is the
+  shingle, so only documents *sharing* a shingle ever meet — no all-pairs
+  cross join. ``max_shingle_df`` drops stop-shingles (doc frequency above
+  a cap) before the join, which bounds the worst-case pair fan-out the
+  same way common-token filtering does in production minhash systems.
+- **MinHash/LSH** reduces each document to a K-integer signature, then
+  band-buckets signatures so candidate pairs come from an equi-join on
+  (band index, band key) — candidate generation is O(candidates), not
+  O(n²).
+- **SimHash** reduces each document to one small integer fingerprint via
+  per-bit weighted majorities; near-dup candidates share a fingerprint
+  nibble (pigeonhole on Hamming distance), again an equi-join.
+
+Two hashing modes:
+
+- ``dictionary`` (default for correctness entries): shingle/token IDs come
+  from a rank over the distinct-shingle dictionary, and MinHash permutes
+  IDs with fixed ``(a*id + b) % p`` parameters. Every step is plain
+  integer arithmetic, so a SQL oracle (DuckDB) reproduces it bit-for-bit.
+  The dictionary rank is a global sort of *distinct* shingles — fine up to
+  dictionary sizes that sort comfortably (hundreds of millions), and the
+  deterministic choice for differential testing.
+- ``xxhash64`` (scale path): shingle IDs come from Spark's built-in
+  ``xxhash64`` — no dictionary, no global sort, embarrassingly parallel.
+  Not oracle-reproducible (DuckDB's hash differs), covered by pytest.
+
+Reference parity note: the reference app has no dedup; this module covers
+the brief's training-pipeline surface (SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Modulus and fixed (a, b) parameters for the MinHash permutation family
+# h_i(x) = (a_i * x + b_i) % MINHASH_P. Any fixed odd multipliers work; these
+# are arbitrary primes well below 2^31 so a*id stays far from BIGINT overflow
+# (ids are dictionary ranks or xxhash64 folded to 31 bits).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1_000_000_007, 12_345),
+    (998_244_353, 54_321),
+    (1_000_000_033, 777),
+    (999_999_937, 31_337),
+    (1_000_000_087, 42),
+    (1_000_000_093, 271_828),
+    (1_000_000_097, 141_421),
+    (1_000_000_103, 173_205),
+    (1_000_000_123, 223_606),
+    (1_000_000_181, 244_948),
+    (1_000_000_207, 264_575),
+    (1_000_000_223, 282_842),
+    (1_000_000_241, 300_000),
+    (1_000_000_271, 316_227),
+    (1_000_000_289, 331_662),
+    (1_000_000_297, 346_410),
+]
+MINHASH_K = len(MINHASH_PARAMS)
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+# SimHash uses the same parameter family; bit j of a token's pseudo-hash is
+# the parity of ((a_j * id + b_j) % p).
+SIMHASH_BITS = 16
+
+
+def normalize_text(col: Column) -> Column:
+    """Whitespace-collapse + trim + lowercase — the canonical form exact
+    dedup hashes. Mirrors the usual normalize step of corpus dedup."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct normalized text with the surviving
+    doc id (min id = keep-first) and the group size.
+
+    Scale: the shuffle key is the md5 hex (32 chars/doc); text never
+    shuffles. Map-side partial aggregation applies to both min and count.
+    """
+    return (
+        docs.select(
+            F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup applied: keep one row per distinct normalized text (the
+    lowest id). Semi-join back so the full rows survive without shuffling
+    document bodies through the aggregate."""
+    keep = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def doc_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) pairs: word n-grams over a whitespace split.
+
+    Stays JVM-side: split + transform(sequence) + explode, no Python UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+
+
+def shingle_dictionary(shingles: DataFrame) -> DataFrame:
+    """(shingle, sid) with sid = rank of the shingle in sorted order.
+
+    Deterministic-integer IDs so the SQL oracle can reproduce MinHash
+    exactly. The global row_number sorts only *distinct* shingles; for the
+    non-differential scale path use ``hash_mode='xxhash64'`` in
+    :func:`minhash_signatures` and skip the dictionary entirely.
+    """
+    return (
+        shingles.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+    )
+
+
+def _shingle_ids(shingles: DataFrame, hash_mode: str) -> DataFrame:
+    if hash_mode == "dictionary":
+        d = shingle_dictionary(shingles)
+        return shingles.join(d, "shingle").select("doc_id", "sid")
+    if hash_mode == "xxhash64":
+        # Fold to 31 bits so (a * sid) stays far below BIGINT overflow.
+        return shingles.select(
+            "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)).alias("sid")
+        )
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "dictionary",
+) -> DataFrame:
+    """Per-document MinHash signature: columns mh0..mh{K-1}.
+
+    One aggregate over the exploded shingles computes all K mins at once
+    (map-side partial min per component), so the shuffle carries K ints per
+    document regardless of document size.
+    """
+    ids = _shingle_ids(doc_shingles(docs, n, text_col, id_col), hash_mode)
+    aggs = [
+        F.min(
+            (F.lit(a).cast("bigint") * F.col("sid") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return ids.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the K-component signature into LSH_BANDS buckets and emit
+    candidate pairs (doc_a < doc_b) that collide in ≥1 band.
+
+    Candidate generation is an equi-join on (band, key): documents never
+    pair up unless a whole band matches, so the pair count tracks the
+    number of real near-dups, not n². At 100 TB the band table is
+    (LSH_BANDS × n_docs) rows of small strings — a normal shuffle join.
+    """
+    bands = []
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        )
+        bands.append(
+            signatures.select(
+                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionAll(extra)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "dictionary",
+) -> DataFrame:
+    """LSH candidate pairs with the estimated Jaccard (fraction of equal
+    signature components). Output: (doc_a, doc_b, est_jaccard)."""
+    sigs = minhash_signatures(docs, n, text_col, id_col, hash_mode)
+    pairs = lsh_candidate_pairs(sigs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index join (key = shingle), then |A∩B| via group-count and
+    |A∪B| = |A| + |B| − |A∩B|. The Jaccard value is an exact ratio of two
+    BIGINTs — deterministic across engines with no quantization needed.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap before the self-join — the standard stop-shingle guard that keeps
+    the pair fan-out linear in the number of true near-dups at corpus
+    scale.
+    """
+    sh = doc_shingles(docs, n, text_col, id_col)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "dictionary",
+) -> DataFrame:
+    """Per-document SimHash fingerprint (SIMHASH_BITS bits) over unigram
+    tokens weighted by occurrence count.
+
+    Bit j of token t's pseudo-hash is parity of ((a_j·id(t)+b_j) mod p);
+    the fingerprint sets bit j when the weighted majority of token bits is
+    1. One groupBy(doc) computes all bit-majorities at once. Near-dup
+    candidates then share a fingerprint nibble at the same position
+    (pigeonhole over Hamming distance ≤ 3 for 16 bits / 4 nibbles).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    if hash_mode == "dictionary":
+        d = (
+            toks.select("tok")
+            .distinct()
+            .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
+        )
+        ids = toks.join(d, "tok").select("doc_id", "tid")
+    elif hash_mode == "xxhash64":
+        ids = toks.select(
+            "doc_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)).alias("tid")
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    params = MINHASH_PARAMS[:SIMHASH_BITS]
+    bit_sums = [
+        F.sum(
+            ((F.lit(a).cast("bigint") * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P) % 2)
+            * 2
+            - 1
+        ).alias(f"v{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    vs = ids.groupBy("doc_id").agg(*bit_sums)
+    fp = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    return vs.select("doc_id", fp.cast("bigint").alias("simhash"))

@@ -9,3 +9,4 @@ from thisishappening_spark.registry import REGISTRY, QuerySpec, query  # noqa: F
 # Import for registration side effects (order = rough SURVEY.md §2 order).
 from thisishappening_spark.queries import relational  # noqa: E402,F401
 from thisishappening_spark.queries import tweets  # noqa: E402,F401
+from thisishappening_spark.queries import llm  # noqa: E402,F401
