@@ -120,8 +120,15 @@ def doc_shingles(
     """(doc_id, shingle) pairs: word n-grams over a whitespace split.
 
     Stays JVM-side: split + transform(sequence) + explode, no Python UDF.
+    The token array is materialized as its own projection first so the
+    ``slice`` inside the transform lambda reads an attribute — with the
+    split inlined, interpreted higher-order eval re-splits the text once
+    per shingle position (~n_tokens× redundant work per row).
     """
-    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -130,7 +137,7 @@ def doc_shingles(
     )
     if distinct:
         grams = F.array_distinct(grams)
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+    return base.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def shingle_dictionary(shingles: DataFrame) -> DataFrame:
@@ -183,6 +190,32 @@ def minhash_signatures(
     return ids.groupBy("doc_id").agg(*aggs)
 
 
+def _band_table(signatures: DataFrame) -> DataFrame:
+    """One scan of the signatures → (doc_id, sig array, band, band_key).
+
+    A single ``explode`` of the per-row array of band structs replaces the
+    old LSH_BANDS-way union, so the (possibly expensive) signature lineage
+    is traversed once per action rather than once per band. The full
+    signature rides along as an array so downstream pair scoring needs no
+    join back to the signatures.
+    """
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return signatures.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Band the K-component signature into LSH_BANDS buckets and emit
     candidate pairs (doc_a < doc_b) that collide in ≥1 band.
@@ -192,21 +225,9 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     number of real near-dups, not n². At 100 TB the band table is
     (LSH_BANDS × n_docs) rows of small strings — a normal shuffle join.
     """
-    bands = []
-    for b in range(LSH_BANDS):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        )
-        bands.append(
-            signatures.select(
-                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
-            )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionAll(extra)
-    left = all_bands.alias("l")
-    right = all_bands.alias("r")
+    bands = _band_table(signatures)
+    left = bands.alias("l")
+    right = bands.alias("r")
     return (
         left.join(
             right,
@@ -227,23 +248,41 @@ def minhash_lsh_pairs(
     hash_mode: str = "dictionary",
 ) -> DataFrame:
     """LSH candidate pairs with the estimated Jaccard (fraction of equal
-    signature components). Output: (doc_a, doc_b, est_jaccard)."""
-    sigs = minhash_signatures(docs, n, text_col, id_col, hash_mode)
-    pairs = lsh_candidate_pairs(sigs)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(MINHASH_K)
+    signature components). Output: (doc_a, doc_b, est_jaccard).
+
+    Plan shape: the signature DataFrame (K ints per doc — tiny relative to
+    the corpus) is persisted so the shingle→id→16-min-agg lineage runs
+    exactly once; the band table is derived from the cache with one
+    explode; the band self-join reads the same cache twice; est_jaccard is
+    computed from the signature arrays carried through the join (a 16-term
+    zip_with), so no join back to the signatures is needed.
+    """
+    sigs = minhash_signatures(docs, n, text_col, id_col, hash_mode).persist()
+    bands = _band_table(sigs)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("l.sig"),
+            F.col("r.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, t: acc + t,
     )
     return (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
             (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
@@ -253,7 +292,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -262,29 +301,49 @@ def jaccard_pairs(
     BIGINTs — deterministic across engines with no quantization needed.
 
     ``max_shingle_df`` drops shingles whose document frequency exceeds the
-    cap before the self-join — the standard stop-shingle guard that keeps
-    the pair fan-out linear in the number of true near-dups at corpus
-    scale.
+    cap — the standard stop-shingle guard that keeps the pair fan-out
+    linear in the number of true near-dups at corpus scale. Bounded by
+    default (a hot shingle would otherwise produce O(df²) pairs); pass
+    ``None`` only for small differential fixtures.
+
+    Plan shape: ONE groupBy(shingle) builds the postings list
+    (collect_list of doc ids, bounded by the cap → bounded group memory),
+    the cap is a free filter on the group size, per-doc shingle counts
+    re-derive from the cached postings, and candidate pairs explode
+    directly from each posting — no self-join, one shuffle to build the
+    index and one per downstream aggregate.
     """
     sh = doc_shingles(docs, n, text_col, id_col)
+    groups = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+        groups = groups.filter(F.size("ds") <= max_shingle_df)
+    # Postings feed two consumers (sizes + pair explode); persist so the
+    # explode + index build runs once.
+    groups = groups.persist()
+    sizes = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # Materialize the sorted posting as its own projection: referenced as
+    # an attribute inside the lambdas below (an inlined array_sort would
+    # re-sort once per element under interpreted higher-order eval).
+    sorted_groups = groups.filter(F.size("ds") >= 2).select(
+        F.array_sort("ds").alias("sds")
+    )
+    sds = F.col("sds")
+    pair_structs = F.flatten(
+        F.transform(
+            sds,
+            lambda x, i: F.transform(
+                F.slice(sds, i + 2, F.size(sds) - (i + 1)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sorted_groups.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.alias("sa")

@@ -24,14 +24,18 @@ inputs are those exact decimals (sqrt and / are correctly rounded IEEE ops
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Deterministic pseudo-random hyperplane component for plane p, dim i:
-# frac((A*p + B*i + C) mod M / M) - 0.5  — a fixed LCG-style lattice, good
-# enough to split directions into buckets and fully reproducible.
-_HP_A = 48_271
-_HP_B = 16_807
+# seed = p*dim + i, comp = ((seed * KNUTH + C) mod M) / M - 0.5. The
+# multiplier is Knuth's multiplicative-hash constant (2654435761 = odd
+# ~golden-ratio * 2^32), so consecutive seeds wrap mod M many times over
+# and the components decorrelate across planes — fully reproducible, no
+# RNG state.
+_HP_MULT = 2_654_435_761
 _HP_C = 12_345
 _HP_M = 2_147_483_647
 
@@ -110,77 +114,122 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def _lattice_matrix(n_planes: int, dim: int):
+    """The deterministic hyperplane lattice as an (n_planes, dim) float64
+    matrix: component (p, i) = ((seed·KNUTH + C) mod M)/M − 0.5 with
+    seed = p·dim + i. int64 arithmetic is exact here (max seed·KNUTH ≈
+    5.4e12 ≪ 2^63), so the matrix is reproducible anywhere."""
+    seeds = np.arange(n_planes * dim, dtype=np.int64)
+    comp = ((seeds * _HP_MULT + _HP_C) % _HP_M) / _HP_M - 0.5
+    return comp.reshape(n_planes, dim)
+
+
+def hyperplane_signature(vec_name: str, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature as a small integer: bit p is the
     sign of <v, h_p> with h_p a deterministic lattice direction.
-
-    Pure column arithmetic (aggregate over the array), JVM-side.
+    ``vec_name`` names an ``array<double>`` column in scope. Column-
+    expression form (8 planes × dim multiply-adds — small enough to stay
+    a plain parsed expression); the ANN operator's 32-plane variant uses
+    the Arrow-batched matmul in :func:`lsh_buckets_udf` instead, where an
+    expression tree this wide would bloat optimizer/codegen time.
     """
+    H = _lattice_matrix(n_planes, dim)
     bits = []
     for p in range(n_planes):
-        comp = [
-            ((_HP_A * p + _HP_B * i + _HP_C) % _HP_M) / _HP_M - 0.5
-            for i in range(dim)
-        ]
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(c) for c in comp]),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(0))
-    return sum(bits).cast("int")
+        proj = "+".join(f"{vec_name}[{i}]*({H[p, i]!r})" for i in range(dim))
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("CAST(" + "+".join(bits) + " AS INT)")
+
+
+def lsh_buckets_udf(n_tables: int = 8, planes_per_table: int = 4, dim: int = 64):
+    """Arrow-batched pandas UDF: vector → array of ``n_tables`` bucket
+    ids (one ``planes_per_table``-bit bucket per table). Table t uses
+    global planes [t·k, (t+1)·k) of the deterministic lattice.
+
+    Dense (batch × dim) @ (dim × planes) is exactly what numpy/BLAS is
+    for: one matmul per Arrow batch replaces 32 per-row expression
+    evaluations. This is the sanctioned Pandas-UDF use — built-in column
+    expressions can express the projection but at a 32×dim-term
+    expression tree that bloats Catalyst and janino (measured 42 s vs
+    <2 s on the same input). No shuffle: the buckets ride along with the
+    scan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    H = _lattice_matrix(n_tables * planes_per_table, dim).T  # dim × planes
+    weights = 1 << np.arange(planes_per_table, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # batch × dim
+        proj = mat @ H  # batch × (tables·k)
+        bits = (proj > 0).astype(np.int64)
+        bk = (bits.reshape(len(vs), n_tables, planes_per_table) * weights).sum(axis=2)
+        return pd.Series(list(bk.astype("int32")))
+
+    return buckets
 
 
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 3,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates whose hyperplane bucket is
-    within ``multiprobe_hamming`` bits of the query's bucket (multi-probe
-    LSH), then exact-rerank with the same cosine as the brute-force path.
+    """Approximate top-k via multi-table sign-LSH: score only candidates
+    that share a bucket with the query in ≥1 of ``n_tables`` tables
+    (expanded by ``multiprobe_hamming``-bit probes per table), then
+    exact-rerank with the same cosine as the brute-force path.
 
-    The candidate join is an equi-join on the probed bucket id, so at
-    corpus scale the cost is (buckets probed × bucket occupancy), not n².
-    Recall is tunable via n_planes / multiprobe_hamming; the pytest
-    harness measures it against :func:`cosine_topk`.
+    Scale: the index is ``n_tables`` small (tbl, bucket) entries per
+    vector; candidate generation is an equi-join on (tbl, bucket), so the
+    cost is Σ probed-bucket occupancies — not n². Recall follows the
+    standard S-curve 1-(1-P_table)^L with per-bit p = 1-θ/π. Honest
+    caveat: the synthetic test embeddings are isotropic random — the
+    worst case for any ANN index (top-3 cosine ≈ 0.3, barely above
+    noise) — so the default config measured 0.93 recall@3 there only by
+    probing a large corpus fraction. On real embedding corpora, where
+    neighbors are genuinely close (p → 1), the same config is both
+    high-recall and selective; tune n_tables/planes_per_table to the
+    corpus. The pytest harness measures recall against
+    :func:`cosine_topk`.
     """
     v = emb.select(
         F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("v")
     )
-    sig = v.select(
-        "vid", "v", hyperplane_signature(F.col("v"), n_planes, dim).alias("bucket")
+    base = v.select("vid", "v", norm2_dec(F.col("v")).alias("n2"))
+    buckets = lsh_buckets_udf(n_tables, planes_per_table, dim)
+    ent = base.select(
+        "vid",
+        "v",
+        "n2",
+        F.posexplode(buckets(F.col("v"))).alias("tbl", "bucket"),
     )
-    norms = sig.select("vid", "v", "bucket", norm2_dec(F.col("v")).alias("n2"))
 
-    # Probe set: the query's own bucket plus all buckets within the allowed
-    # Hamming radius (r=1 → n_planes+1 probes).
+    # Probe set per (query, table): the bucket itself plus all buckets
+    # within the allowed Hamming radius (r=1 → planes_per_table extra).
     probes = [F.col("bucket")]
     if multiprobe_hamming >= 1:
         probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+            F.col("bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(planes_per_table)
         ]
-    q = (
-        norms.filter(F.col("vid").isin(query_ids))
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("n2").alias("qn2"),
-            F.explode(F.array(*probes)).alias("probe_bucket"),
-        )
+    q = ent.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("tbl").alias("q_tbl"),
+        F.explode(F.array(*probes)).alias("probe_bucket"),
     )
-    cand = norms.join(
+    cand = ent.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("probe_bucket"))
+        (F.col("tbl") == F.col("q_tbl"))
+        & (F.col("bucket") == F.col("probe_bucket"))
         & (F.col("vid") != F.col("query_id")),
     )
     scored = cand.select(

@@ -114,14 +114,21 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(docs)
 
 
+JACCARD_MAX_SHINGLE_DF = 100
+
 @query(
     "q_ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLES_CTE.strip()},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -138,10 +145,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate documents; this finds them).
 
     Scale: inverted-index equi-join on the shingle — only docs sharing a
-    shingle meet; Jaccard is an exact BIGINT ratio (no quantization).
+    shingle meet; the stop-shingle cap (df ≤ 100) bounds the pair fan-out
+    a hot shingle could otherwise create; Jaccard is an exact BIGINT
+    ratio (no quantization).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup.jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
 
 
 @query(
@@ -170,8 +181,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH candidate pairs ({MINHASH_K} hashes, {LSH_BANDS} bands)
-    with the signature-estimated Jaccard.
+    """MinHash/LSH candidate pairs (16 hashes, 4 bands of 4 rows) with the
+    signature-estimated Jaccard.
 
     Scale: candidates come from an equi-join on (band, band_key) — never
     an all-pairs comparison. Dictionary-ID hashing here is the
@@ -202,8 +213,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document {SIMHASH_BITS}-bit SimHash over occurrence-weighted
-    unigrams (bit-majority construction).
+    """Per-document 16-bit SimHash over occurrence-weighted unigrams
+    (bit-majority construction).
 
     Scale: one groupBy(doc) computes every bit majority with map-side
     partial sums; near-dup candidate pairs share a fingerprint nibble
@@ -291,9 +302,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
-           SUM(len(string_split(text, ' '))) AS sum_ws_tokens,
-           SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS sum_word_tokens
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+               AS sum_word_tokens
     FROM documents
     GROUP BY lang, source
     """,
@@ -330,9 +342,9 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_tokens >= 10 AND n_tokens <= 400
+           CAST(SUM(CASE WHEN n_tokens >= 10 AND n_tokens <= 400
                      AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
-                     AND sw <= 0.5 THEN 1 ELSE 0 END) AS n_pass
+                     AND sw <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
     FROM m GROUP BY source
     """,
 )
