@@ -3,21 +3,27 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Per-query timing includes plan construction + execution (count() to force
-full evaluation without driver-side result transfer overhead skew).
-A warmup query first amortizes JVM/codegen startup out of the numbers.
+Per-query timing includes plan construction + execution (noop write to
+force full evaluation without driver-side result transfer skew). Each
+query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+MEDIAN — single-shot numbers on a shared box historically spread 41–249 s
+on identical code; the median absorbs GC pauses, JIT warm-up drift, and
+noisy-neighbor interference. A warmup query first amortizes JVM/codegen
+startup out of the numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from thisishappening_spark.queries import REGISTRY
 from thisishappening_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 BENCH_QUERIES = [name for name in sorted(REGISTRY)]
 
@@ -31,10 +37,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        start = time.perf_counter()
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        samples = []
+        for _ in range(N_RUNS):
+            start = time.perf_counter()
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(samples), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

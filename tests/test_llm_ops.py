@@ -107,6 +107,47 @@ def test_simhash_xxhash64_mode(spark):
     assert fp[1] != fp[3]
 
 
+def test_doc_fingerprint_xxhash64_mode(spark):
+    """The dictionary-free scale path for doc_fingerprint: identical texts
+    get identical fingerprints, near-identical texts sharing a window keep
+    the shared min when it is the minimum, and the plan contains no global
+    row_number sort (the dictionary mode's single-partition bottleneck)."""
+    from thisishappening_spark.operators.textstats import doc_fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa lambda"),
+            (4, "ab"),  # fewer tokens than the window → NULL fingerprint
+        ],
+        "doc_id bigint, text string",
+    )
+    df = doc_fingerprint(docs)  # xxhash64 is the default
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, "scale mode must not rank a dictionary"
+    fp = {r["doc_id"]: r["fingerprint"] for r in df.collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert fp[4] is None
+    with pytest.raises(ValueError):
+        doc_fingerprint(docs, hash_mode="nope")
+
+
+def test_dedup_ops_leave_no_cache_behind(spark, sf_dir):
+    """jaccard_pairs / minhash_lsh_pairs persist intermediates internally;
+    after the call returns, the session-level cache must be empty (the
+    round-5–11 leak left one entry per call alive forever)."""
+    from thisishappening_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    from thisishappening_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    jaccard_pairs(docs, threshold=0.5).collect()
+    minhash_lsh_pairs(docs).collect()
+    n_cached = spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+    assert n_cached == 0, f"{n_cached} cached plans leaked"
+
+
 def test_hyperplane_buckets_diverse(spark, sf_dir):
     """The deterministic hyperplane lattice must actually partition the
     corpus: many distinct buckets, and no single bucket hoarding the

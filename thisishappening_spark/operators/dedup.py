@@ -22,16 +22,20 @@ as DataFrame transformations whose shuffles are bounded by design:
 
 Two hashing modes:
 
-- ``dictionary`` (default for correctness entries): shingle/token IDs come
+- ``dictionary`` (opt-in, used by the registry's correctness entries):
+  shingle/token IDs come
   from a rank over the distinct-shingle dictionary, and MinHash permutes
   IDs with fixed ``(a*id + b) % p`` parameters. Every step is plain
   integer arithmetic, so a SQL oracle (DuckDB) reproduces it bit-for-bit.
   The dictionary rank is a global sort of *distinct* shingles — fine up to
   dictionary sizes that sort comfortably (hundreds of millions), and the
   deterministic choice for differential testing.
-- ``xxhash64`` (scale path): shingle IDs come from Spark's built-in
-  ``xxhash64`` — no dictionary, no global sort, embarrassingly parallel.
-  Not oracle-reproducible (DuckDB's hash differs), covered by pytest.
+- ``xxhash64`` (the DEFAULT, and the scale path): shingle IDs come from
+  Spark's built-in ``xxhash64`` — no dictionary, no global sort,
+  embarrassingly parallel. Not oracle-reproducible (DuckDB's hash
+  differs), covered by pytest. The dictionary mode's global row_number
+  sort over distinct shingles is a single-partition bottleneck at corpus
+  scale, so it must never be the default a user copies.
 
 Reference parity note: the reference app has no dedup; this module covers
 the brief's training-pipeline surface (SURVEY.md §2 extension).
@@ -172,7 +176,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_mode: str = "dictionary",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: columns mh0..mh{K-1}.
 
@@ -245,7 +249,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_mode: str = "dictionary",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs with the estimated Jaccard (fraction of equal
     signature components). Output: (doc_a, doc_b, est_jaccard).
@@ -256,34 +260,47 @@ def minhash_lsh_pairs(
     explode; the band self-join reads the same cache twice; est_jaccard is
     computed from the signature arrays carried through the join (a 16-term
     zip_with), so no join back to the signatures is needed.
+
+    Cache lifecycle: the pair result (small — proportional to true
+    near-dups, never n²) is eagerly materialized via ``localCheckpoint``
+    and the signature cache is released in ``finally`` — a long-lived
+    session accumulates no cache entries from repeated calls. The
+    checkpoint blocks themselves are RDD-level, so the ContextCleaner
+    frees them once the returned DataFrame is dropped. (On a multi-tenant
+    cluster where executor loss must be survivable, swap localCheckpoint
+    for a reliable checkpoint dir; the plan shape is unchanged.)
     """
     sigs = minhash_signatures(docs, n, text_col, id_col, hash_mode).persist()
-    bands = _band_table(sigs)
-    left = bands.alias("l")
-    right = bands.alias("r")
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("l.sig"),
-            F.col("r.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, t: acc + t,
-    )
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    try:
+        bands = _band_table(sigs)
+        left = bands.alias("l")
+        right = bands.alias("r")
+        matches = F.aggregate(
+            F.zip_with(
+                F.col("l.sig"),
+                F.col("r.sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, t: acc + t,
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 def jaccard_pairs(
@@ -318,56 +335,67 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         groups = groups.filter(F.size("ds") <= max_shingle_df)
     # Postings feed two consumers (sizes + pair explode); persist so the
-    # explode + index build runs once.
+    # explode + index build runs once, then release the cache in `finally`
+    # after the (small) pair result is eagerly materialized — repeated
+    # calls in a long-lived session must not accumulate cache entries.
     groups = groups.persist()
-    sizes = (
-        groups.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
-    # Materialize the sorted posting as its own projection: referenced as
-    # an attribute inside the lambdas below (an inlined array_sort would
-    # re-sort once per element under interpreted higher-order eval).
-    sorted_groups = groups.filter(F.size("ds") >= 2).select(
-        F.array_sort("ds").alias("sds")
-    )
-    sds = F.col("sds")
-    pair_structs = F.flatten(
-        F.transform(
-            sds,
-            lambda x, i: F.transform(
-                F.slice(sds, i + 2, F.size(sds) - (i + 1)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+    try:
+        sizes = (
+            groups.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
         )
-    )
-    inter = (
-        sorted_groups.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
-        .join(sb, inter.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter"))
-            ).alias("jaccard"),
+        # Materialize the sorted posting as its own projection: referenced
+        # as an attribute inside the lambdas below (an inlined array_sort
+        # would re-sort once per element under interpreted higher-order
+        # eval).
+        sorted_groups = groups.filter(F.size("ds") >= 2).select(
+            F.array_sort("ds").alias("sds")
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+        sds = F.col("sds")
+        pair_structs = F.flatten(
+            F.transform(
+                sds,
+                lambda x, i: F.transform(
+                    F.slice(sds, i + 2, F.size(sds) - (i + 1)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            sorted_groups.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        pairs = (
+            inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+            .join(sb, inter.doc_b == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (
+                        F.col("sa.n_shingles")
+                        + F.col("sb.n_shingles")
+                        - F.col("n_inter")
+                    )
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        groups.unpersist()
 
 
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_mode: str = "dictionary",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Per-document SimHash fingerprint (SIMHASH_BITS bits) over unigram
     tokens weighted by occurrence count.

@@ -135,25 +135,42 @@ def doc_fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Rolling-hash document fingerprint: min over token-trigram window
-    hashes h = (tid1·31² + tid2·31 + tid3) mod p, with tid the rank of the
-    token in the sorted distinct-token dictionary.
+    hashes h = (tid1·31² + tid2·31 + tid3) mod p.
+
+    Two token-ID modes, mirroring operators/dedup.py:
+
+    - ``xxhash64`` (default, the scale path): tid = xxhash64(tok) folded
+      to 31 bits — no dictionary, no global sort, embarrassingly
+      parallel. Not oracle-reproducible (DuckDB hashes differ);
+      pytest-covered.
+    - ``dictionary`` (differential-testing opt-in): tid = rank of the
+      token in the sorted distinct-token dictionary; engine-portable
+      integer arithmetic the DuckDB oracle reproduces bit-for-bit. The
+      global row_number is a single-partition sort — never the default.
 
     The min-of-window-hashes is the 1-fingerprint special case of
-    winnowing; dictionary IDs keep the arithmetic engine-portable for the
-    differential oracle (scale path swaps in xxhash64, no dictionary).
+    winnowing.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
-    d = (
-        toks.select("tok")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
-    )
-    ids = toks.join(d, "tok").select("doc_id", "pos", "tid")
+    if hash_mode == "dictionary":
+        d = (
+            toks.select("tok")
+            .distinct()
+            .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
+        )
+        ids = toks.join(d, "tok").select("doc_id", "pos", "tid")
+    elif hash_mode == "xxhash64":
+        ids = toks.select(
+            "doc_id", "pos", F.pmod(F.xxhash64("tok"), F.lit(FP_P)).alias("tid")
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     seq = ids.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]

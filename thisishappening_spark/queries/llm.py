@@ -431,7 +431,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes — the 1-fingerprint special case of winnowing).
 
     Scale: per-doc array math after one explode/collect round-trip;
-    dictionary IDs are the differential mode (xxhash64 = scale path).
+    dictionary IDs here are the differential-testing opt-in (the
+    operator's default is the dictionary-free xxhash64 scale path,
+    pytest-covered).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.doc_fingerprint(docs)
+    return textstats.doc_fingerprint(docs, hash_mode="dictionary")
