@@ -42,13 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-truncate to
-    a microsecond timestamp (the same truncation DuckDB applies casting its
-    TIMESTAMP_NS to TIMESTAMP). `ts_ns` keeps nanosecond resolution for
-    deterministic orderings in the bigint branch; if the reader honors nanos
-    natively, `ts_ns` is microsecond-derived (sub-microsecond digits zero) —
-    still a strictly monotone ordering key for this data.
+    """events.ts has shipped as parquet TIMESTAMP(NANOS) in some rounds and
+    timestamp[us] in others, so handle every dtype the reader can surface:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it (PARQUET_TYPE_ILLEGAL)
+      unless nanos are read as long; floor-truncate to a microsecond
+      timestamp (the same truncation DuckDB applies casting TIMESTAMP_NS
+      to TIMESTAMP).
+    - timestamp[us] without timezone: Spark reads TIMESTAMP_NTZ. The
+      session timezone is pinned UTC (session.py), so casting to TIMESTAMP
+      is value-preserving and keeps every downstream `unix_micros`/tz
+      expression valid.
+    - plain TIMESTAMP: used as-is.
+
+    `ts_ns` keeps nanosecond resolution for deterministic orderings in the
+    bigint branch; otherwise it is microsecond-derived (sub-microsecond
+    digits zero) — still a strictly monotone ordering key for this data.
 
     The legacy conf is only flipped when the footer actually declares a
     nanos timestamp (checked driver-side via the pyarrow footer — no Spark
@@ -67,7 +76,12 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         if ts_field is not None and pa_types.is_timestamp(ts_field.type) and ts_field.type.unit == "ns":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") != "bigint":  # reader honored nanos natively
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype == "timestamp_ntz":
+        # Session tz is pinned UTC, so NTZ→TIMESTAMP is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        ts_dtype = "timestamp"
+    if ts_dtype != "bigint":  # reader surfaced a (possibly cast) timestamp
         return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
