@@ -135,9 +135,9 @@ def test_doc_fingerprint_xxhash64_mode(spark):
 
 
 def test_dedup_ops_leave_no_cache_behind(spark, sf_dir):
-    """jaccard_pairs / minhash_lsh_pairs persist intermediates internally;
-    after the call returns, the session-level cache must be empty (the
-    round-5–11 leak left one entry per call alive forever)."""
+    """jaccard_pairs / minhash_lsh_pairs rely on exchange reuse, not
+    persist; after the call returns, the session-level cache must be empty
+    (the round-5–11 leak left one entry per call alive forever)."""
     from thisishappening_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
     from thisishappening_spark.sources.tables import load_table
 

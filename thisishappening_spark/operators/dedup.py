@@ -254,53 +254,46 @@ def minhash_lsh_pairs(
     """LSH candidate pairs with the estimated Jaccard (fraction of equal
     signature components). Output: (doc_a, doc_b, est_jaccard).
 
-    Plan shape: the signature DataFrame (K ints per doc — tiny relative to
-    the corpus) is persisted so the shingle→id→16-min-agg lineage runs
-    exactly once; the band table is derived from the cache with one
-    explode; the band self-join reads the same cache twice; est_jaccard is
-    computed from the signature arrays carried through the join (a 16-term
+    Plan shape: the expensive lineage (shingle→id→16-min agg) is traversed
+    exactly ONCE — the band table is grouped by (band, band_key) into
+    bucket arrays, and candidate pairs are generated bucket-locally by two
+    chained ``explode`` s (codegen Generate operators) with ``doc_a <
+    doc_b``. No self-join, so nothing depends on exchange reuse surviving
+    AQE's broadcast rewrite, and no persist/localCheckpoint blocks the
+    query path — the result is as lazy as every other operator here.
+    Bucket sizes track real near-dup group sizes (a whole band must
+    match), so the per-bucket pair blow-up is O(dup-group²), the same
+    bound the problem itself imposes. est_jaccard is computed from the
+    signature arrays carried through the bucket structs (a 16-term
     zip_with), so no join back to the signatures is needed.
-
-    Cache lifecycle: the pair result (small — proportional to true
-    near-dups, never n²) is eagerly materialized via ``localCheckpoint``
-    and the signature cache is released in ``finally`` — a long-lived
-    session accumulates no cache entries from repeated calls. The
-    checkpoint blocks themselves are RDD-level, so the ContextCleaner
-    frees them once the returned DataFrame is dropped. (On a multi-tenant
-    cluster where executor loss must be survivable, swap localCheckpoint
-    for a reliable checkpoint dir; the plan shape is unchanged.)
     """
-    sigs = minhash_signatures(docs, n, text_col, id_col, hash_mode).persist()
-    try:
-        bands = _band_table(sigs)
-        left = bands.alias("l")
-        right = bands.alias("r")
-        matches = F.aggregate(
-            F.zip_with(
-                F.col("l.sig"),
-                F.col("r.sig"),
-                lambda x, y: F.when(x == y, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, t: acc + t,
+    sigs = minhash_signatures(docs, n, text_col, id_col, hash_mode)
+    bands = _band_table(sigs)
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    a = F.col("a")
+    b = F.col("b")
+    matches = F.aggregate(
+        F.zip_with(
+            a["sig"], b["sig"], lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(a["doc_id"] < b["doc_id"])
+        .select(
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
         )
-        pairs = (
-            left.join(
-                right,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.band_key") == F.col("r.band_key"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(
-                F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
-                (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
-            )
-            .distinct()
-        )
-        return pairs.localCheckpoint(eager=True)
-    finally:
-        sigs.unpersist()
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -325,70 +318,51 @@ def jaccard_pairs(
 
     Plan shape: ONE groupBy(shingle) builds the postings list
     (collect_list of doc ids, bounded by the cap → bounded group memory),
-    the cap is a free filter on the group size, per-doc shingle counts
-    re-derive from the cached postings, and candidate pairs explode
-    directly from each posting — no self-join, one shuffle to build the
-    index and one per downstream aggregate.
+    the cap is a free filter on the group size, and both the per-doc
+    shingle counts and the candidate pairs re-derive from the *same*
+    postings subtree (``ReusedExchange`` replays the groupBy(shingle)
+    shuffle for the second consumer). Pair generation is bucket-local: two
+    chained ``explode`` s of the posting array (codegen Generate
+    operators) with ``doc_a < doc_b`` — no self-join and no interpreted
+    nested-``transform``; the blow-up per posting is bounded by the df
+    cap (≤ cap²/2 pairs).
     """
     sh = doc_shingles(docs, n, text_col, id_col)
     groups = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
     if max_shingle_df is not None:
         groups = groups.filter(F.size("ds") <= max_shingle_df)
-    # Postings feed two consumers (sizes + pair explode); persist so the
-    # explode + index build runs once, then release the cache in `finally`
-    # after the (small) pair result is eagerly materialized — repeated
-    # calls in a long-lived session must not accumulate cache entries.
-    groups = groups.persist()
-    try:
-        sizes = (
-            groups.select(F.explode("ds").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    inter = (
+        groups.filter(F.size("ds") >= 2)
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("sa.n_shingles")
+                    + F.col("sb.n_shingles")
+                    - F.col("n_inter")
+                )
+            ).alias("jaccard"),
         )
-        # Materialize the sorted posting as its own projection: referenced
-        # as an attribute inside the lambdas below (an inlined array_sort
-        # would re-sort once per element under interpreted higher-order
-        # eval).
-        sorted_groups = groups.filter(F.size("ds") >= 2).select(
-            F.array_sort("ds").alias("sds")
-        )
-        sds = F.col("sds")
-        pair_structs = F.flatten(
-            F.transform(
-                sds,
-                lambda x, i: F.transform(
-                    F.slice(sds, i + 2, F.size(sds) - (i + 1)),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
-        inter = (
-            sorted_groups.select(F.explode(pair_structs).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        sa = sizes.alias("sa")
-        sb = sizes.alias("sb")
-        pairs = (
-            inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
-            .join(sb, inter.doc_b == F.col("sb.doc_id"))
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("n_inter").cast("double")
-                    / (
-                        F.col("sa.n_shingles")
-                        + F.col("sb.n_shingles")
-                        - F.col("n_inter")
-                    )
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= F.lit(threshold))
-        )
-        return pairs.localCheckpoint(eager=True)
-    finally:
-        groups.unpersist()
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
 
 
 def simhash(
