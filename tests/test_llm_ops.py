@@ -137,7 +137,11 @@ def test_doc_fingerprint_xxhash64_mode(spark):
 def test_dedup_ops_leave_no_cache_behind(spark, sf_dir):
     """jaccard_pairs / minhash_lsh_pairs rely on exchange reuse, not
     persist; after the call returns, the session-level cache must be empty
-    (the round-5–11 leak left one entry per call alive forever)."""
+    (the round-5–11 leak left one entry per call alive forever). Since
+    034b7d3 neither operator persists anything, so this is a regression
+    guard against persist/cache being reintroduced, not a live check —
+    the companion exchange-reuse assertion lives in
+    test_ngram_jaccard_reuses_postings_exchange."""
     from thisishappening_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
     from thisishappening_spark.sources.tables import load_table
 
@@ -190,3 +194,69 @@ def test_ann_rows_shape(spark, sf_dir):
     rows = df.collect()
     assert len(rows) >= 1
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ngram_jaccard_reuses_postings_exchange(spark, sf_dir):
+    """jaccard_pairs derives sizes and candidate pairs from the SAME
+    groupBy(shingle) postings subtree and relies on exchange reuse so the
+    shingle lineage runs once per action. The reuse fires at AQE stage
+    materialization (the pre-execution plan shows three copies), so assert
+    on the EXECUTED plan — a Spark upgrade that breaks reuse triples the
+    most expensive subtree and must fail here."""
+    from thisishappening_spark.operators.dedup import jaccard_pairs
+    from thisishappening_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = jaccard_pairs(docs, threshold=0.5)
+    df.collect()  # materialize so the AQE final plan (with reuse) exists
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        "groupBy(shingle) postings exchange no longer reused — "
+        "shingle lineage now recomputes per consumer"
+    )
+
+
+def test_minhash_bucket_cap_drops_oversized_buckets(spark):
+    """max_bucket_df (the production skew guard): a duplicate cluster
+    larger than the cap stops emitting O(df²) pairs; None keeps today's
+    exact behavior."""
+    from thisishappening_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(1, 5)]
+        + [(10, "some entirely different words here now")],
+        "doc_id bigint, text string",
+    )
+    uncapped = minhash_lsh_pairs(docs).collect()
+    assert len(uncapped) == 6  # the 4-dup cluster: C(4,2) pairs
+    wide_cap = minhash_lsh_pairs(docs, max_bucket_df=10).collect()
+    assert sorted(map(tuple, wide_cap)) == sorted(map(tuple, uncapped))
+    capped = minhash_lsh_pairs(docs, max_bucket_df=3).collect()
+    assert capped == []  # every colliding bucket holds the whole 4-cluster
+
+
+def test_ann_dedups_candidates_before_rerank(spark, sf_dir):
+    """r21: a (query, candidate) pair colliding in m probed buckets must
+    be deduped BEFORE the decimal-exact dot product (measured 3.1×
+    multiplicity on the fixture). In the executed plan the scoring
+    projection (the zip_with dot) therefore sits ABOVE the distinct
+    HashAggregate; if scoring moves back below the dedup this ordering
+    flips. Also pin: the bucket UDF evaluates once per side (2 Arrow
+    nodes), never more (guide §4.4 duplication)."""
+    from thisishappening_spark.operators.similarity import ann_lsh_topk
+    from thisishappening_spark.queries.llm import COSINE_QUERY_IDS
+    from thisishappening_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ann_lsh_topk(emb, COSINE_QUERY_IDS, k=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints the final plan followed by the initial plan —
+    # assert on the final (executed) section only.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") <= 2, "bucket UDF evaluated >2x"
+    assert "zip_with" in plan and "HashAggregate" in plan
+    assert plan.index("zip_with") < plan.index("HashAggregate"), (
+        "exact rerank runs below the candidate dedup — every bucket "
+        "collision pays the decimal dot again"
+    )

@@ -125,9 +125,16 @@ def doc_shingles(
 
     Stays JVM-side: split + transform(sequence) + explode, no Python UDF.
     The token array is materialized as its own projection first so the
-    ``slice`` inside the transform lambda reads an attribute — with the
-    split inlined, interpreted higher-order eval re-splits the text once
-    per shingle position (~n_tokens× redundant work per row).
+    element lookups inside the transform lambda read an attribute — with
+    the split inlined, interpreted higher-order eval re-splits the text
+    once per shingle position (~n_tokens× redundant work per row).
+
+    Each shingle is built as ``concat_ws(" ", t[i], …, t[i+n-1])`` rather
+    than ``array_join(slice(toks, i, n))``: identical strings (verified
+    element-wise r21), but no per-position n-element array allocation
+    inside the interpreted ``transform`` lambda (higher-order functions
+    are CodegenFallback, so every saved allocation is an interpreted-path
+    saving; guide §4.1 "prefer built-ins", applied inside the lambda).
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
@@ -136,7 +143,7 @@ def doc_shingles(
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         )
     )
     if distinct:
@@ -250,9 +257,25 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "xxhash64",
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with the estimated Jaccard (fraction of equal
     signature components). Output: (doc_a, doc_b, est_jaccard).
+
+    ``max_bucket_df`` is the production skew/memory guard, analogous to
+    ``max_shingle_df`` in :func:`jaccard_pairs`: buckets whose size
+    exceeds the cap are dropped entirely (a bucket of df docs would emit
+    O(df²) pairs and hold df (doc_id, 16-int sig) structs in one
+    aggregation buffer — a single giant duplicate cluster is the one
+    place this plan can concentrate memory). The cap kills the O(df²)
+    pair explosion outright; the collect-side buffer still materializes
+    once before the filter, but ObjectHashAggregate degrades to
+    sort-based spilling under pressure, so the explosion — not the
+    collect — is the scale killer the cap addresses. Dropping is safe
+    for dedup recall in the same way stop-shingle dropping is: a
+    near-dup cluster that large collides in many buckets and in exact
+    dedup anyway. ``None`` (the default, used by the differential
+    registry entry) keeps every pair.
 
     Plan shape: the expensive lineage (shingle→id→16-min agg) is traversed
     exactly ONCE — the band table is grouped by (band, band_key) into
@@ -274,6 +297,8 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+    if max_bucket_df is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_df)
     a = F.col("a")
     b = F.col("b")
     matches = F.aggregate(

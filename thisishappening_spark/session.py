@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Let the planner pick shuffled-hash join where its size bounds hold
+        # (optimization guide §3.1: no sort on either side, faster than
+        # sort-merge when a per-partition build side fits). No local plan
+        # changes at bench SFs (every eligible join already broadcasts) —
+        # this is the cluster-scale default for the fact-fact joins.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # AQE coalesce target (guide §2.2/§9): post-shuffle partitions in the
+        # hundreds-of-MB range instead of the 64 MB default. Scale-adaptive,
+        # not core-count-derived; at bench SFs every shuffle is below either
+        # threshold so local plans (and the driver's low-core run) are
+        # unaffected.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
