@@ -167,7 +167,7 @@ def test_hyperplane_buckets_diverse(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = (
-        emb.select(as_double_vec(F.col("embedding")).alias("v"))
+        emb.select(as_double_vec("embedding").alias("v"))
         .select(hyperplane_signature("v").alias("bucket"))
         .groupBy("bucket")
         .count()

@@ -32,25 +32,29 @@ class BoundingBox:
         return cls(west=bbox[0], south=bbox[1], east=bbox[2], north=bbox[3])
 
 
-def inbounds_closed(lon: Column, lat: Column, bbox: BoundingBox) -> Column:
-    """P1: closed-interval bbox containment (reference data_utils.py:43-46)."""
+def inbounds_closed(lon: str, lat: str, bbox: BoundingBox) -> str:
+    """P1: closed-interval bbox containment (reference data_utils.py:43-46).
+    Takes column names / returns a SQL expression string (r21 convention,
+    see sqlexpr.py); ``flit`` keeps the bounds typed DOUBLE exactly like
+    the former ``F.lit(float)``."""
+    from thisishappening_spark.sqlexpr import flit
+
     return (
-        (lon >= F.lit(bbox.west))
-        & (lon <= F.lit(bbox.east))
-        & (lat >= F.lit(bbox.south))
-        & (lat <= F.lit(bbox.north))
+        f"{lon} >= {flit(bbox.west)} AND {lon} <= {flit(bbox.east)} "
+        f"AND {lat} >= {flit(bbox.south)} AND {lat} <= {flit(bbox.north)}"
     )
 
 
-def inbounds_half_open(lon: Column, lat: Column, bbox: BoundingBox) -> Column:
+def inbounds_half_open(lon: str, lat: str, bbox: BoundingBox) -> str:
     """Q2: half-open bbox used by the query layer — `>= west AND < east AND
     >= south AND < north` (reference data_base.py:344-353). Deliberately
-    different from P1's closed interval; preserved as-is (SURVEY §7.4)."""
+    different from P1's closed interval; preserved as-is (SURVEY §7.4).
+    SQL-string form like :func:`inbounds_closed`."""
+    from thisishappening_spark.sqlexpr import flit
+
     return (
-        (lon >= F.lit(bbox.west))
-        & (lon < F.lit(bbox.east))
-        & (lat >= F.lit(bbox.south))
-        & (lat < F.lit(bbox.north))
+        f"{lon} >= {flit(bbox.west)} AND {lon} < {flit(bbox.east)} "
+        f"AND {lat} >= {flit(bbox.south)} AND {lat} < {flit(bbox.north)}"
     )
 
 
@@ -72,35 +76,34 @@ def ref_haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> 
     return haversine_km(lon1, lat1, lon2, lat2)
 
 
-def polygon_ring_centroid(ring: Column) -> tuple[Column, Column]:
+def polygon_ring_centroid(ring: str) -> tuple[str, str]:
     """F3: arithmetic-mean centroid of a polygon ring given as
     array<array<double>> of [lon, lat] vertices — including any duplicated
     closing vertex, exactly like the reference's `np.mean` over the raw ring
-    (reference tweet_utils.py:107-121)."""
-    n = F.size(ring).cast("double")
-    lon = F.aggregate(
-        F.transform(ring, lambda v: v.getItem(0)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / n
-    lat = F.aggregate(
-        F.transform(ring, lambda v: v.getItem(1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / n
-    return lon, lat
+    (reference tweet_utils.py:107-121).
+
+    Takes/returns SQL expression strings (not Columns) so the ingest
+    projection can compose the whole 23-field select as one parsed string —
+    the Column-operator form cost ~40 Py4J round trips per call, paid on
+    every bench-timed query construction (r21)."""
+
+    def mean(idx: int) -> str:
+        return (
+            f"aggregate(transform({ring}, v -> v[{idx}]), CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + x) / CAST(size({ring}) AS DOUBLE)"
+        )
+
+    return mean(0), mean(1)
 
 
-def polygon_ring_bbox(ring: Column) -> Column:
+def polygon_ring_bbox(ring: str) -> str:
     """F4: min/max lon/lat of a place polygon ring → struct(west, south,
-    east, north) (reference tweet_utils.py:124-134)."""
-    lons = F.transform(ring, lambda v: v.getItem(0))
-    lats = F.transform(ring, lambda v: v.getItem(1))
-    return F.struct(
-        F.array_min(lons).alias("west"),
-        F.array_min(lats).alias("south"),
-        F.array_max(lons).alias("east"),
-        F.array_max(lats).alias("north"),
+    east, north) (reference tweet_utils.py:124-134). SQL-string form."""
+    lons = f"transform({ring}, v -> v[0])"
+    lats = f"transform({ring}, v -> v[1])"
+    return (
+        f"named_struct('west', array_min({lons}), 'south', array_min({lats}), "
+        f"'east', array_max({lons}), 'north', array_max({lats}))"
     )
 
 

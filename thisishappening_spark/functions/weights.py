@@ -17,23 +17,26 @@ which admission filters prevent).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from thisishappening_spark.sqlexpr import flit, sql_str
 
 
-def compute_weight(weight: Column, x: Column, factor: float | None) -> Column:
-    """F16: w / exp(x·factor) (reference data_utils.py:86-88)."""
-    return weight / F.exp(x * F.lit(factor or 0.0))
+def compute_weight(weight: str, x: str, factor: float | None) -> str:
+    """F16: w / exp(x·factor) (reference data_utils.py:86-88). SQL-string
+    form (r21 convention, sqlexpr.py — the Column build of the weight
+    chain cost ~400 Py4J round trips per construction)."""
+    return f"({weight}) / exp(({x}) * {flit(factor or 0.0)})"
 
 
-def coord_key(lon: Column, lat: Column) -> Column:
+def coord_key(lon: str, lat: str) -> str:
     """F21: the "%.5f" string pair used for blocklist matching
     (reference data_utils.py:112-114). format_number adds thousands
     separators, so use format_string which mirrors printf %.5f."""
-    return F.struct(
-        F.format_string("%.5f", lon).alias("lon_key"),
-        F.format_string("%.5f", lat).alias("lat_key"),
+    return (
+        f"named_struct('lon_key', format_string('%.5f', {lon}), "
+        f"'lat_key', format_string('%.5f', {lat}))"
     )
 
 
@@ -60,29 +63,28 @@ def with_activity_weight(
     created_at sort (the reference relies on Python stable sort of
     insertion order; a distributed engine needs an explicit key).
     """
-    w: Column = F.lit(1.0)
+    w = flit(1.0)
 
     if weighted and reduce_weight_lon_lat and weight_factor_lon_lat is not None:
-        key = coord_key(F.col(lon_col), F.col(lat_col))
-        blocked = F.array(
-            *[
-                F.struct(F.lit(lo).alias("lon_key"), F.lit(la).alias("lat_key"))
-                for lo, la in reduce_weight_lon_lat
-            ]
+        key = coord_key(lon_col, lat_col)
+        blocked = "array(" + ", ".join(
+            f"named_struct('lon_key', {sql_str(lo)}, 'lat_key', {sql_str(la)})"
+            for lo, la in reduce_weight_lon_lat
+        ) + ")"
+        w = (
+            f"CASE WHEN array_contains({blocked}, {key}) "
+            f"THEN {compute_weight(w, '1', weight_factor_lon_lat)} ELSE {w} END"
         )
-        w = F.when(
-            F.array_contains(blocked, key),
-            compute_weight(w, F.lit(1), weight_factor_lon_lat),
-        ).otherwise(w)
 
     if weighted and weight_factor_no_coords is not None:
-        w = F.when(
-            ~F.col(has_coords_col), compute_weight(w, F.lit(1), weight_factor_no_coords)
-        ).otherwise(w)
+        w = (
+            f"CASE WHEN NOT {has_coords_col} "
+            f"THEN {compute_weight(w, '1', weight_factor_no_coords)} ELSE {w} END"
+        )
 
     if weighted and weight_factor_user is not None:
-        win = Window.partitionBy(user_col).orderBy(time_col, *order_cols)
-        rank0 = F.row_number().over(win) - F.lit(1)
+        order = ", ".join((time_col,) + tuple(order_cols))
+        rank0 = f"row_number() OVER (PARTITION BY {user_col} ORDER BY {order}) - 1"
         w = compute_weight(w, rank0, weight_factor_user)
 
-    return df.withColumn(weight_col, w)
+    return df.withColumn(weight_col, F.expr(w))

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from thisishappening_spark.functions.geo import BoundingBox, inbounds_closed
+from thisishappening_spark.sqlexpr import flit, sql_str
 
 
 @dataclass(frozen=True)
@@ -86,15 +87,19 @@ def _ignore_words_pattern(words: tuple[str, ...]) -> str:
     return "(?i)(" + "|".join(words) + ")"
 
 
-def admission_checks(cfg: AdmissionConfig) -> dict[str, Column]:
-    """Each named predicate as a Column, keyed like the reference's checks
-    dict (tweet_utils.py:291-305). True = keep."""
+def admission_check_exprs(cfg: AdmissionConfig) -> dict[str, str]:
+    """Each named predicate as a SQL expression string, keyed like the
+    reference's checks dict (tweet_utils.py:291-305). True = keep.
+
+    String form (r21 convention, sqlexpr.py): the Column-operator build of
+    this stack cost ~800 Py4J round trips per construction; the strings
+    produce the identical expression trees in one parse."""
     c = cfg.columns or AdmissionColumns()
-    lon, lat = F.col(c.longitude), F.col(c.latitude)
-    checks: dict[str, Column] = {}
+    lon, lat = c.longitude, c.latitude
+    checks: dict[str, str] = {}
 
     # P14 empty-body reject (tweet_utils.py:211-214) — checked before all.
-    checks["nonempty_body"] = F.coalesce(F.col(c.tweet_body), F.lit("")) != F.lit("")
+    checks["nonempty_body"] = f"coalesce({c.tweet_body}, '') <> ''"
 
     # P1 closed-interval bbox (data_utils.py:43-46, called tweet_utils.py:223)
     if cfg.bounding_box is not None:
@@ -105,37 +110,36 @@ def admission_checks(cfg: AdmissionConfig) -> dict[str, Column]:
     if c.place_ring is not None:
         from thisishappening_spark.functions.geo import polygon_ring_bbox
 
-        ring = F.col(c.place_ring)
+        ring = c.place_ring
         bbox = polygon_ring_bbox(ring)
-        checks["in_place_bounding_box"] = F.when(
-            ring.isNull() | ~F.col(c.has_coords), F.lit(True)
-        ).otherwise(
-            lon.between(bbox.getField("west"), bbox.getField("east"))
-            & lat.between(bbox.getField("south"), bbox.getField("north"))
+        checks["in_place_bounding_box"] = (
+            f"CASE WHEN {ring} IS NULL OR NOT {c.has_coords} THEN TRUE "
+            f"ELSE {lon} BETWEEN {bbox}.west AND {bbox}.east "
+            f"AND {lat} BETWEEN {bbox}.south AND {bbox}.north END"
         )
 
     # P3/P4 ignore-words over body and quoted text (tweet_utils.py:231-245)
     if cfg.ignore_words:
-        pat = _ignore_words_pattern(cfg.ignore_words)
-        checks["tweet_ignore_words"] = ~F.coalesce(F.col(c.tweet_body), F.lit("")).rlike(pat)
-        checks["quote_tweet_ignore_words"] = ~F.coalesce(
-            F.col(c.quoted_text), F.lit("")
-        ).rlike(pat)
+        pat = sql_str(_ignore_words_pattern(cfg.ignore_words))
+        checks["tweet_ignore_words"] = f"NOT coalesce({c.tweet_body}, '') RLIKE {pat}"
+        checks["quote_tweet_ignore_words"] = (
+            f"NOT coalesce({c.quoted_text}, '') RLIKE {pat}"
+        )
 
     # P5 valid_location: coords OR whitelisted place type (tweet_utils.py:247-250)
-    checks["valid_location"] = F.col(c.has_coords) | F.col(c.place_type).isin(
-        list(cfg.valid_place_types)
-    )
+    types = ", ".join(sql_str(t) for t in cfg.valid_place_types)
+    checks["valid_location"] = f"{c.has_coords} OR {c.place_type} IN ({types})"
 
     # P6 screen-name regex blocklist, case-insensitive substring search
     # (tweet_utils.py:252-257)
     if cfg.ignore_user_screen_names:
-        pat = "(?i)(" + "|".join(cfg.ignore_user_screen_names) + ")"
-        checks["valid_screen_name"] = ~F.col(c.user_screen_name).rlike(pat)
+        pat = sql_str("(?i)(" + "|".join(cfg.ignore_user_screen_names) + ")")
+        checks["valid_screen_name"] = f"NOT {c.user_screen_name} RLIKE {pat}"
 
     # P7 user-id blocklist (tweet_utils.py:259)
     if cfg.ignore_user_id_str:
-        checks["valid_user_id"] = ~F.col(c.user_id_str).isin(list(cfg.ignore_user_id_str))
+        ids = ", ".join(sql_str(i) for i in cfg.ignore_user_id_str)
+        checks["valid_user_id"] = f"NOT {c.user_id_str} IN ({ids})"
 
     # P8 exact-coordinate blocklist (tweet_utils.py:261-270)
     if cfg.ignore_lon_lat:
@@ -143,9 +147,10 @@ def admission_checks(cfg: AdmissionConfig) -> dict[str, Column]:
             # Bug-compatible: truthy longitude → compare longitude only;
             # zero/null longitude falls through to the latitude compare.
             conds = [
-                F.when(lon.isNotNull() & (lon != 0), lon != F.lit(blon))
-                .when(lat.isNotNull() & (lat != 0), lat != F.lit(blat))
-                .otherwise(F.lit(True))
+                f"CASE WHEN {lon} IS NOT NULL AND {lon} <> 0 "
+                f"THEN {lon} <> {flit(blon)} "
+                f"WHEN {lat} IS NOT NULL AND {lat} <> 0 "
+                f"THEN {lat} <> {flit(blat)} ELSE TRUE END"
                 for blon, blat in cfg.ignore_lon_lat
             ]
         else:
@@ -154,44 +159,40 @@ def admission_checks(cfg: AdmissionConfig) -> dict[str, Column]:
             # three-valued `(NULL != x) | (NULL != y)` would DROP the row,
             # contradicting the NULL-safety contract of admission_predicate.
             conds = [
-                F.coalesce(
-                    (lon != F.lit(blon)) | (lat != F.lit(blat)), F.lit(True)
-                )
+                f"coalesce({lon} <> {flit(blon)} OR {lat} <> {flit(blat)}, TRUE)"
                 for blon, blat in cfg.ignore_lon_lat
             ]
-        acc = conds[0]
-        for cond in conds[1:]:
-            acc = acc & cond
-        checks["valid_lat_lon"] = acc
+        checks["valid_lat_lon"] = " AND ".join(f"({cond})" for cond in conds)
 
     # P9-P11 three-valued flag exclusions (tweet_utils.py:272-284)
     if cfg.ignore_possibly_sensitive:
-        checks["valid_possibly_sensitive"] = ~F.coalesce(
-            F.col(c.possibly_sensitive), F.lit(False)
+        checks["valid_possibly_sensitive"] = (
+            f"NOT coalesce({c.possibly_sensitive}, FALSE)"
         )
     if cfg.ignore_quote_status:
-        checks["valid_quoted"] = ~F.coalesce(F.col(c.is_quote_status), F.lit(False))
+        checks["valid_quoted"] = f"NOT coalesce({c.is_quote_status}, FALSE)"
     if cfg.ignore_reply_status:
-        checks["valid_reply"] = ~F.coalesce(F.col(c.is_reply_status), F.lit(False))
+        checks["valid_reply"] = f"NOT coalesce({c.is_reply_status}, FALSE)"
 
     # P12/P13 follower-graph minimums (tweet_utils.py:287-289)
-    checks["valid_friends_count"] = F.col(c.friends_count) >= F.lit(cfg.min_friends_count)
-    checks["valid_followers_count"] = F.col(c.followers_count) >= F.lit(
-        cfg.min_followers_count
-    )
+    checks["valid_friends_count"] = f"{c.friends_count} >= {cfg.min_friends_count}"
+    checks["valid_followers_count"] = f"{c.followers_count} >= {cfg.min_followers_count}"
 
     return checks
+
+
+def admission_checks(cfg: AdmissionConfig) -> dict[str, Column]:
+    """The named predicates as Columns (one parsed expression each)."""
+    return {k: F.expr(v) for k, v in admission_check_exprs(cfg).items()}
 
 
 def admission_predicate(cfg: AdmissionConfig) -> Column:
     """The full conjunction — `all(checks.values())` (tweet_utils.py:311).
     NULL-safe: each check coalesces its nullable inputs, so a NULL column
     never silently drops the row via three-valued logic unless the
-    reference would."""
-    acc = F.lit(True)
-    for col in admission_checks(cfg).values():
-        acc = acc & col
-    return acc
+    reference would. Built as one parsed conjunction."""
+    conj = " AND ".join(f"({v})" for v in admission_check_exprs(cfg).values())
+    return F.expr(conj or "TRUE")
 
 
 def admit(df: DataFrame, cfg: AdmissionConfig) -> DataFrame:

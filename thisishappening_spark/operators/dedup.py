@@ -135,20 +135,25 @@ def doc_shingles(
     inside the interpreted ``transform`` lambda (higher-order functions
     are CodegenFallback, so every saved allocation is an interpreted-path
     saving; guide §4.1 "prefer built-ins", applied inside the lambda).
+
+    The whole shingle expression is ONE parsed SQL string: building it
+    with nested Column operators costs a Py4J round trip per operator
+    (profiled r21: the Column form of this module spent >60% of query
+    *construction* inside py4j send_command), and the bench pays
+    construction on every timed run. Same expression tree either way.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
     )
-    toks = F.col("__toks")
-    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )
+    parts = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(__toks) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) END"
     )
     if distinct:
-        grams = F.array_distinct(grams)
-    return base.select("doc_id", F.explode(grams).alias("shingle"))
+        grams = f"array_distinct({grams})"
+    return base.select("doc_id", F.expr(f"explode({grams}) AS shingle"))
 
 
 def shingle_dictionary(shingles: DataFrame) -> DataFrame:
@@ -173,7 +178,7 @@ def _shingle_ids(shingles: DataFrame, hash_mode: str) -> DataFrame:
     if hash_mode == "xxhash64":
         # Fold to 31 bits so (a * sid) stays far below BIGINT overflow.
         return shingles.select(
-            "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)).alias("sid")
+            "doc_id", F.expr(f"pmod(xxhash64(shingle), {MINHASH_P}) AS sid")
         )
     raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
@@ -192,10 +197,10 @@ def minhash_signatures(
     document regardless of document size.
     """
     ids = _shingle_ids(doc_shingles(docs, n, text_col, id_col), hash_mode)
+    # One parsed string per component instead of ~8 Py4J round trips each
+    # (same expression: CAST(a AS BIGINT) * sid + b, then % p).
     aggs = [
-        F.min(
-            (F.lit(a).cast("bigint") * F.col("sid") + F.lit(b)) % F.lit(MINHASH_P)
-        ).alias(f"mh{i}")
+        F.expr(f"min((CAST({a} AS BIGINT) * sid + {b}) % {MINHASH_P}) AS mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
     return ids.groupBy("doc_id").agg(*aggs)
@@ -210,21 +215,17 @@ def _band_table(signatures: DataFrame) -> DataFrame:
     signature rides along as an array so downstream pair scoring needs no
     join back to the signatures.
     """
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                ).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
+    sig_arr = "array(" + ", ".join(f"mh{i}" for i in range(MINHASH_K)) + ")"
+    band_structs = "array(" + ", ".join(
+        "named_struct('band', {b}, 'band_key', concat_ws('_', {keys}))".format(
+            b=b,
+            keys=", ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    ) + ")"
     return signatures.select(
-        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bk")
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        "doc_id", F.expr(f"{sig_arr} AS sig"), F.expr(f"explode({band_structs}) AS bk")
+    ).select("doc_id", "sig", F.expr("bk.band AS band"), F.expr("bk.band_key AS band_key"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -299,23 +300,18 @@ def minhash_lsh_pairs(
     )
     if max_bucket_df is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket_df)
-    a = F.col("a")
-    b = F.col("b")
-    matches = F.aggregate(
-        F.zip_with(
-            a["sig"], b["sig"], lambda x, y: F.when(x == y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, t: acc + t,
+    matches = (
+        "aggregate(zip_with(a.sig, b.sig, "
+        "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, t) -> acc + t)"
     )
     return (
-        buckets.select(F.explode("ms").alias("a"), "ms")
-        .select("a", F.explode("ms").alias("b"))
-        .filter(a["doc_id"] < b["doc_id"])
+        buckets.select(F.expr("explode(ms) AS a"), "ms")
+        .select("a", F.expr("explode(ms) AS b"))
+        .filter(F.expr("a.doc_id < b.doc_id"))
         .select(
-            a["doc_id"].alias("doc_a"),
-            b["doc_id"].alias("doc_b"),
-            (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+            F.expr("a.doc_id AS doc_a"),
+            F.expr("b.doc_id AS doc_b"),
+            F.expr(f"{matches} / CAST({float(MINHASH_K)} AS DOUBLE) AS est_jaccard"),
         )
         .distinct()
     )
@@ -353,40 +349,34 @@ def jaccard_pairs(
     cap (≤ cap²/2 pairs).
     """
     sh = doc_shingles(docs, n, text_col, id_col)
-    groups = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+    groups = sh.groupBy("shingle").agg(F.expr("collect_list(doc_id) AS ds"))
     if max_shingle_df is not None:
-        groups = groups.filter(F.size("ds") <= max_shingle_df)
+        groups = groups.filter(f"size(ds) <= {max_shingle_df}")
     sizes = (
-        groups.select(F.explode("ds").alias("doc_id"))
+        groups.select(F.expr("explode(ds) AS doc_id"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .agg(F.expr("count(1) AS n_shingles"))
     )
     inter = (
-        groups.filter(F.size("ds") >= 2)
-        .select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        groups.filter("size(ds) >= 2")
+        .select(F.expr("explode(ds) AS a"), "ds")
+        .select("a", F.expr("explode(ds) AS b"))
+        .filter("a < b")
+        .groupBy(F.expr("a AS doc_a"), F.expr("b AS doc_b"))
+        .agg(F.expr("count(1) AS n_inter"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
-        .join(sb, inter.doc_b == F.col("sb.doc_id"))
-        .select(
+        inter.join(sa, F.expr("doc_a = sa.doc_id"))
+        .join(sb, F.expr("doc_b = sb.doc_id"))
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (
-                    F.col("sa.n_shingles")
-                    + F.col("sb.n_shingles")
-                    - F.col("n_inter")
-                )
-            ).alias("jaccard"),
+            "CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)"
+            " AS jaccard",
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
+        .filter(f"jaccard >= {float(threshold)!r}D")
     )
 
 
@@ -417,23 +407,21 @@ def simhash(
         )
         ids = toks.join(d, "tok").select("doc_id", "tid")
     elif hash_mode == "xxhash64":
-        ids = toks.select(
-            "doc_id", F.pmod(F.xxhash64("tok"), F.lit(MINHASH_P)).alias("tid")
-        )
+        ids = toks.select("doc_id", F.expr(f"pmod(xxhash64(tok), {MINHASH_P}) AS tid"))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     params = MINHASH_PARAMS[:SIMHASH_BITS]
+    # Parsed-string form of the same expressions (see doc_shingles note):
+    # the Column form of these 16 majorities + the fingerprint fold was
+    # ~2800 Py4J round trips per construction.
     bit_sums = [
-        F.sum(
-            ((F.lit(a).cast("bigint") * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P) % 2)
-            * 2
-            - 1
-        ).alias(f"v{j}")
+        F.expr(
+            f"sum(((CAST({a} AS BIGINT) * tid + {b}) % {MINHASH_P} % 2) * 2 - 1) AS v{j}"
+        )
         for j, (a, b) in enumerate(params)
     ]
     vs = ids.groupBy("doc_id").agg(*bit_sums)
-    fp = sum(
-        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
-        for j in range(SIMHASH_BITS)
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
-    return vs.select("doc_id", fp.cast("bigint").alias("simhash"))
+    return vs.select("doc_id", F.expr(f"CAST({fp} AS BIGINT) AS simhash"))

@@ -24,11 +24,15 @@ from thisishappening_spark.functions.geo import polygon_ring_centroid
 CREATED_AT_FORMAT = "MMM dd HH:mm:ss xx yyyy"
 
 
-def parse_created_at(col: Column) -> Column:
+def parse_created_at(col: str) -> str:
     """F1: parse "%a %b %d %H:%M:%S +0000 %Y" (reference tweet_utils.py:
     314-319). The day-of-week token is redundant with the date; slicing it
-    keeps the parse on Spark's strict parser instead of LEGACY mode."""
-    return F.to_timestamp(F.substring(col, 5, 26), CREATED_AT_FORMAT)
+    keeps the parse on Spark's strict parser instead of LEGACY mode.
+
+    Takes/returns SQL expression strings (as do the sibling helpers): the
+    Column-operator form of the full 23-field projection cost ~1500 Py4J
+    round trips per construction (profiled r21), the parsed form one."""
+    return f"to_timestamp(substring({col}, 5, 26), '{CREATED_AT_FORMAT}')"
 
 # Nested raw-status schema — only the fields any operator reads (SURVEY
 # §1.1). The polygon is array<array<array<double>>> (ring of [lon,lat]).
@@ -102,7 +106,7 @@ STATUS_SCHEMA = T.StructType(
 )
 
 
-def tweet_body(s: Column) -> Column:
+def tweet_body(s: str) -> str:
     """F2: extended_tweet.full_text → full_text → text → ''
     (reference tweet_utils.py:95-104).
 
@@ -112,61 +116,65 @@ def tweet_body(s: Column) -> Column:
     whereas coalesce falls through to `text` and admits it. JSON-null
     top-level text fields do not occur in the documented status format;
     coalesce implements the evident intent and is kept deliberately."""
-    return F.coalesce(
-        s.getField("extended_tweet").getField("full_text"),
-        s.getField("full_text"),
-        s.getField("text"),
-        F.lit(""),
-    )
+    return f"coalesce({s}.extended_tweet.full_text, {s}.full_text, {s}.text, '')"
 
 
-def lon_lat(s: Column) -> tuple[Column, Column, Column]:
+def lon_lat(s: str) -> tuple[str, str, str]:
     """F3: point coords if present, else arithmetic-mean centroid of the
     place polygon ring (incl. duplicated closing vertex, exactly like the
     reference's sum/len — tweet_utils.py:107-121). Returns (lon, lat,
-    has_coords)."""
-    point = s.getField("coordinates").getField("coordinates")
-    ring = s.getField("place").getField("bounding_box").getField("coordinates").getItem(0)
+    has_coords) SQL expression strings."""
+    point = f"{s}.coordinates.coordinates"
+    ring = f"{s}.place.bounding_box.coordinates[0]"
     c_lon, c_lat = polygon_ring_centroid(ring)
-    lon = F.when(point.isNotNull(), point.getItem(0)).otherwise(
-        F.when(ring.isNotNull(), c_lon)
+    lon = (
+        f"CASE WHEN {point} IS NOT NULL THEN {point}[0] "
+        f"WHEN {ring} IS NOT NULL THEN {c_lon} END"
     )
-    lat = F.when(point.isNotNull(), point.getItem(1)).otherwise(
-        F.when(ring.isNotNull(), c_lat)
+    lat = (
+        f"CASE WHEN {point} IS NOT NULL THEN {point}[1] "
+        f"WHEN {ring} IS NOT NULL THEN {c_lat} END"
     )
-    return lon, lat, point.isNotNull()
+    return lon, lat, f"{point} IS NOT NULL"
 
 
 def project_status(df: DataFrame, raw_col: str = "raw") -> DataFrame:
     """get_tweet_info as one typed projection (reference tweet_utils.py:
     137-178). Output schema = the 19 TweetInfo fields (deleted_at always
-    NULL at ingest, data_base.py:254)."""
-    s = F.from_json(F.col(raw_col), STATUS_SCHEMA)
-    lon, lat, has_coords = lon_lat(s)
-    place = s.getField("place")
-    return df.select(
-        s.getField("id_str").alias("status_id_str"),
-        s.getField("user").getField("screen_name").alias("user_screen_name"),
-        s.getField("user").getField("id_str").alias("user_id_str"),
-        parse_created_at(s.getField("created_at")).alias("created_at"),
-        F.lit(None).cast("timestamp").alias("deleted_at"),
-        tweet_body(s).alias("tweet_body"),
-        s.getField("lang").alias("tweet_language"),
-        s.getField("is_quote_status").alias("is_quote_status"),
-        s.getField("in_reply_to_status_id_str").isNotNull().alias("is_reply_status"),
-        s.getField("possibly_sensitive").alias("possibly_sensitive"),
-        has_coords.alias("has_coords"),
-        lon.alias("longitude"),
-        lat.alias("latitude"),
-        place.getField("id").alias("place_id"),
-        place.getField("name").alias("place_name"),
-        place.getField("full_name").alias("place_full_name"),
-        place.getField("country").alias("place_country"),
-        place.getField("country_code").alias("place_country_code"),
-        place.getField("place_type").alias("place_type"),
+    NULL at ingest, data_base.py:254).
+
+    The projection is expressed as ONE ``selectExpr`` over a pre-parsed
+    struct column: the Column-operator form of these 23 fields (getField
+    chains, CASE branches, centroid folds) cost ~1500 Py4J round trips
+    per *construction* (profiled r21 — query construction is timed by the
+    bench on every run); the parsed-string form is one round trip. The
+    expression tree, and therefore the result, is unchanged: same typed
+    from_json, same coalesce/CASE/centroid semantics (F1-F3, P14 — see
+    the helpers above, which now build SQL expression strings)."""
+    lon, lat, has_coords = lon_lat("s")
+    return df.select(F.from_json(F.col(raw_col), STATUS_SCHEMA).alias("s")).selectExpr(
+        "s.id_str AS status_id_str",
+        "s.user.screen_name AS user_screen_name",
+        "s.user.id_str AS user_id_str",
+        f"{parse_created_at('s.created_at')} AS created_at",
+        "CAST(NULL AS TIMESTAMP) AS deleted_at",
+        f"{tweet_body('s')} AS tweet_body",
+        "s.lang AS tweet_language",
+        "s.is_quote_status AS is_quote_status",
+        "s.in_reply_to_status_id_str IS NOT NULL AS is_reply_status",
+        "s.possibly_sensitive AS possibly_sensitive",
+        f"{has_coords} AS has_coords",
+        f"{lon} AS longitude",
+        f"{lat} AS latitude",
+        "s.place.id AS place_id",
+        "s.place.name AS place_name",
+        "s.place.full_name AS place_full_name",
+        "s.place.country AS place_country",
+        "s.place.country_code AS place_country_code",
+        "s.place.place_type AS place_type",
         # admission-only extras (not persisted by the reference's table)
-        s.getField("quoted_status").getField("text").alias("quoted_text"),
-        s.getField("user").getField("friends_count").alias("friends_count"),
-        s.getField("user").getField("followers_count").alias("followers_count"),
-        s.getField("truncated").alias("truncated"),
+        "s.quoted_status.text AS quoted_text",
+        "s.user.friends_count AS friends_count",
+        "s.user.followers_count AS followers_count",
+        "s.truncated AS truncated",
     )

@@ -40,36 +40,51 @@ _HP_C = 12_345
 _HP_M = 2_147_483_647
 
 
-def as_double_vec(col: Column) -> Column:
+def as_double_vec(col: str) -> Column:
     """array<float> → array<double> so arithmetic runs in IEEE double on
-    every engine (float math widens differently between engines)."""
-    return F.transform(col, lambda x: x.cast("double"))
+    every engine (float math widens differently between engines).
+
+    Takes a column NAME and returns one parsed expression — this module's
+    helpers are SQL-string builders because the Column-operator form of
+    the scoring pipeline cost ~1250 Py4J round trips per construction
+    (profiled r21) and the bench times construction on every run."""
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
 
-def dot_dec(a: Column, b: Column) -> Column:
+def dot_dec(a: str, b: str) -> str:
     """Exact-decimal dot product: per-term quantize to DECIMAL(28,15), sum
-    in DECIMAL(38,15) — order-independent and cross-engine exact."""
-    terms = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(28,15)"))
-    # Re-cast each partial sum: Spark's decimal-add widening would otherwise
-    # drift the accumulator type to DECIMAL(38,14). The cast is lossless here
-    # (64 terms, each |t| < 10^13).
-    return F.aggregate(
-        terms,
-        F.lit(0).cast("decimal(38,15)"),
-        lambda acc, t: (acc + t).cast("decimal(38,15)"),
+    in DECIMAL(38,15) — order-independent and cross-engine exact.
+    Re-casting each partial sum keeps the accumulator at DECIMAL(38,15)
+    (Spark's decimal-add widening would otherwise drift it to (38,14));
+    lossless here (64 terms, each |t| < 10^13). Returns a SQL string over
+    the named array columns."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x * y AS DECIMAL(28,15))), "
+        f"CAST(0 AS DECIMAL(38,15)), (acc, t) -> CAST(acc + t AS DECIMAL(38,15)))"
     )
 
 
-def norm2_dec(a: Column) -> Column:
+def norm2_dec(a: str) -> str:
     return dot_dec(a, a)
 
 
-def cosine(dot: Column, n2a: Column, n2b: Column, round_to: int = 6) -> Column:
-    return F.round(
-        dot.cast("double")
-        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
-        round_to,
+def cosine(dot: str, n2a: str, n2b: str, round_to: int = 6) -> str:
+    return (
+        f"round(CAST({dot} AS DOUBLE) / (sqrt(CAST({n2a} AS DOUBLE)) * "
+        f"sqrt(CAST({n2b} AS DOUBLE))), {round_to})"
     )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: row_number over (cos desc,
+    neighbor_id) — same window the Column form built, as one projection."""
+    return scored.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) AS rank",
+    ).filter(f"rank <= {k}")
 
 
 def cosine_topk(
@@ -85,33 +100,18 @@ def cosine_topk(
     (tiny side), so the corpus scan never shuffles; ranking uses
     row_number over (cos desc, neighbor_id) for a deterministic tie-break.
     """
-    v = emb.select(
-        F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("v")
-    )
-    norms = v.select("vid", "v", norm2_dec(F.col("v")).alias("n2"))
-    q = norms.filter(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("n2").alias("qn2"),
+    v = emb.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v"))
+    norms = v.select("vid", "v", F.expr(f"{norm2_dec('v')} AS n2"))
+    q = norms.filter(F.col("vid").isin(query_ids)).selectExpr(
+        "vid AS query_id", "v AS qv", "n2 AS qn2"
     )
     pairs = norms.join(F.broadcast(q), F.col("vid") != F.col("query_id"))
-    scored = pairs.select(
+    scored = pairs.selectExpr(
         "query_id",
-        F.col("vid").alias("neighbor_id"),
-        cosine(
-            dot_dec(F.col("qv"), F.col("v")), F.col("qn2"), F.col("n2")
-        ).alias("cos_sim"),
+        "vid AS neighbor_id",
+        f"{cosine(dot_dec('qv', 'v'), 'qn2', 'n2')} AS cos_sim",
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, k)
 
 
 def _lattice_matrix(n_planes: int, dim: int):
@@ -208,10 +208,8 @@ def ann_lsh_topk(
     filtered scan (no LSH subtree), so the dedup exchange carries one
     corpus vector per distinct pair instead of two vectors per collision.
     """
-    v = emb.select(
-        F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("v")
-    )
-    base = v.select("vid", "v", norm2_dec(F.col("v")).alias("n2"))
+    v = emb.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v"))
+    base = v.select("vid", "v", F.expr(f"{norm2_dec('v')} AS n2"))
     buckets = lsh_buckets_udf(n_tables, planes_per_table, dim)
     ent = base.select(
         "vid",
@@ -222,46 +220,28 @@ def ann_lsh_topk(
 
     # Probe set per (query, table): the bucket itself plus all buckets
     # within the allowed Hamming radius (r=1 → planes_per_table extra).
-    probes = [F.col("bucket")]
+    probes = ["bucket"]
     if multiprobe_hamming >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << j))
-            for j in range(planes_per_table)
-        ]
-    q = ent.filter(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"),
-        F.col("tbl").alias("q_tbl"),
-        F.explode(F.array(*probes)).alias("probe_bucket"),
+        probes += [f"bucket ^ {1 << j}" for j in range(planes_per_table)]
+    q = ent.filter(F.col("vid").isin(query_ids)).selectExpr(
+        "vid AS query_id",
+        "tbl AS q_tbl",
+        f"explode(array({', '.join(probes)})) AS probe_bucket",
     )
     cand = ent.join(
         F.broadcast(q),
-        (F.col("tbl") == F.col("q_tbl"))
-        & (F.col("bucket") == F.col("probe_bucket"))
-        & (F.col("vid") != F.col("query_id")),
+        F.expr("tbl = q_tbl AND bucket = probe_bucket AND vid != query_id"),
     )
     # Dedup candidates before the exact rerank: (v, n2) are functionally
     # determined by vid, so the distinct collapses to one row per
     # (query_id, vid) pair and the expensive dot runs once per pair.
     uniq = cand.select("query_id", "vid", "v", "n2").distinct()
-    qtab = base.filter(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("n2").alias("qn2"),
+    qtab = base.filter(F.col("vid").isin(query_ids)).selectExpr(
+        "vid AS query_id", "v AS qv", "n2 AS qn2"
     )
-    scored = uniq.join(F.broadcast(qtab), "query_id").select(
+    scored = uniq.join(F.broadcast(qtab), "query_id").selectExpr(
         "query_id",
-        F.col("vid").alias("neighbor_id"),
-        cosine(
-            dot_dec(F.col("qv"), F.col("v")), F.col("qn2"), F.col("n2")
-        ).alias("cos_sim"),
+        "vid AS neighbor_id",
+        f"{cosine(dot_dec('qv', 'v'), 'qn2', 'n2')} AS cos_sim",
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, k)

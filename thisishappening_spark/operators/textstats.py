@@ -36,6 +36,10 @@ FR_STOPWORDS = [
 FP_P = 2_147_483_647  # fingerprint modulus (2^31-1)
 
 
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (the documents table is single-space
     separated; real corpora would regex-split first)."""
@@ -48,11 +52,14 @@ def word_token_count(col: Column) -> Column:
     return F.regexp_count(F.lower(col), F.lit("[a-z0-9]+"))
 
 
-def stopword_ratio(tok_col: Column, stopwords: list[str]) -> Column:
+def stopword_ratio(tok_col: str, stopwords: list[str]) -> str:
     """Fraction of tokens that are function words — exact BIGINT/BIGINT
-    division."""
-    hits = F.size(F.filter(tok_col, lambda t: t.isin(stopwords)))
-    return hits.cast("double") / F.size(tok_col)
+    division. SQL-string form over a token-array expression: the Column-
+    operator form of this module cost ~1900 Py4J round trips per
+    construction (profiled r21 — the bench times construction every run);
+    the parsed strings build the identical expression trees."""
+    hits = f"size(filter({tok_col}, t -> t IN ({_sql_list(stopwords)})))"
+    return f"CAST({hits} AS DOUBLE) / size({tok_col})"
 
 
 def doc_quality(
@@ -67,28 +74,24 @@ def doc_quality(
     mean token length bounds, stopword-ratio ceiling. One projection over
     the scan; no shuffle.
     """
-    t = tokens(F.col(text_col))
-    n_tok = F.size(t)
+    t = f"split({text_col}, ' ')"
+    n_tok = f"size({t})"
     mean_len = (
-        F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
-        .cast("double")
-        / n_tok
+        f"CAST(aggregate({t}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) "
+        f"AS DOUBLE) / {n_tok}"
     )
     sw = stopword_ratio(t, EN_STOPWORDS)
     passed = (
-        (n_tok >= 10)
-        & (n_tok <= 400)
-        & (mean_len >= 2.0)
-        & (mean_len <= 12.0)
-        & (sw <= 0.5)
+        f"{n_tok} >= 10 AND {n_tok} <= 400 AND ({mean_len}) >= 2.0D "
+        f"AND ({mean_len}) <= 12.0D AND ({sw}) <= 0.5D"
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in (keep_cols or [])],
-        n_tok.alias("n_tokens"),
-        mean_len.alias("mean_token_len"),
-        sw.alias("stopword_ratio"),
-        passed.alias("quality_pass"),
+    return docs.selectExpr(
+        f"{id_col} AS doc_id",
+        *(keep_cols or []),
+        f"{n_tok} AS n_tokens",
+        f"{mean_len} AS mean_token_len",
+        f"{sw} AS stopword_ratio",
+        f"{passed} AS quality_pass",
     )
 
 
@@ -108,26 +111,32 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
     hits = toks.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("tok").isin(EN_STOPWORDS), 1).otherwise(0)).alias("h_en"),
-        F.sum(F.when(F.col("tok").isin(ES_STOPWORDS), 1).otherwise(0)).alias("h_es"),
-        F.sum(F.when(F.col("tok").isin(FR_STOPWORDS), 1).otherwise(0)).alias("h_fr"),
-        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.expr(
+                f"sum(CASE WHEN tok IN ({_sql_list(words)}) THEN 1 ELSE 0 END)"
+                f" AS h_{code}"
+            )
+            for code, words in (
+                ("en", EN_STOPWORDS),
+                ("es", ES_STOPWORDS),
+                ("fr", FR_STOPWORDS),
+            )
+        ],
+        F.expr("count(1) AS n_tok"),
     )
-    scored = hits.select(
+    scored = hits.selectExpr(
         "doc_id",
-        (F.col("h_en").cast("double") / F.col("n_tok")).alias("score_en"),
-        (F.col("h_es").cast("double") / F.col("n_tok")).alias("score_es"),
-        (F.col("h_fr").cast("double") / F.col("n_tok")).alias("score_fr"),
+        "CAST(h_en AS DOUBLE) / n_tok AS score_en",
+        "CAST(h_es AS DOUBLE) / n_tok AS score_es",
+        "CAST(h_fr AS DOUBLE) / n_tok AS score_fr",
     )
-    best = F.greatest(F.col("score_en"), F.col("score_es"), F.col("score_fr"))
-    pred = F.when(best < 0.05, F.lit("unknown"))
-    for code in ("en", "es", "fr"):  # first max wins → ties break en<es<fr
-        pred = pred.when(F.col(f"score_{code}") == best, F.lit(code))
-    return scored.select(
-        "doc_id",
-        pred.alias("pred_lang"),
-        F.col("score_en"),
-    )
+    best = "greatest(score_en, score_es, score_fr)"
+    pred = f"CASE WHEN {best} < 0.05D THEN 'unknown' " + " ".join(
+        # first max wins → ties break en<es<fr
+        f"WHEN score_{code} = {best} THEN '{code}'"
+        for code in ("en", "es", "fr")
+    ) + " END"
+    return scored.selectExpr("doc_id", f"{pred} AS pred_lang", "score_en")
 
 
 def doc_fingerprint(
@@ -167,28 +176,22 @@ def doc_fingerprint(
         ids = toks.join(d, "tok").select("doc_id", "pos", "tid")
     elif hash_mode == "xxhash64":
         ids = toks.select(
-            "doc_id", "pos", F.pmod(F.xxhash64("tok"), F.lit(FP_P)).alias("tid")
+            "doc_id", "pos", F.expr(f"pmod(xxhash64(tok), {FP_P}) AS tid")
         )
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     seq = ids.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
-        ).alias("tids")
-    )
-    w = F.when(
-        F.size(F.col("tids")) < window, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("tids")) - (window - 1)),
-            lambda i: (
-                F.element_at(F.col("tids"), i).cast("bigint") * 961
-                + F.element_at(F.col("tids"), i + 1) * 31
-                + F.element_at(F.col("tids"), i + 2)
-            )
-            % FP_P,
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)"
+            " AS tids"
         )
     )
+    w = (
+        f"CASE WHEN size(tids) < {window} THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(1, size(tids) - {window - 1}), "
+        f"i -> (CAST(element_at(tids, i) AS BIGINT) * 961 "
+        f"+ element_at(tids, i + 1) * 31 + element_at(tids, i + 2)) % {FP_P}) END"
+    )
     return seq.select(
-        "doc_id", F.array_min(w).cast("bigint").alias("fingerprint")
+        "doc_id", F.expr(f"CAST(array_min({w}) AS BIGINT) AS fingerprint")
     )

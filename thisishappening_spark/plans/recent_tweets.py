@@ -18,17 +18,26 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from thisishappening_spark.functions.geo import BoundingBox, inbounds_half_open
+from thisishappening_spark.sqlexpr import sql_str
 
 
-def _time_window(ts_col: Column, timestamp: dt.datetime, hours: float) -> Column:
+def _ts_lit(t: dt.datetime) -> str:
+    """A naive datetime as a TIMESTAMP literal — same value F.lit(datetime)
+    produced under the pinned-UTC session."""
+    return f"TIMESTAMP '{t:%Y-%m-%d %H:%M:%S.%f}'"
+
+
+def _time_window(ts_col: str, timestamp: dt.datetime, hours: float) -> str:
     """Q1: closed sliding interval `[timestamp - hours, timestamp]`
-    (reference data_base.py:334-342)."""
+    (reference data_base.py:334-342). SQL-string form (r21 convention,
+    sqlexpr.py — the Column build of this plan family cost ~400 Py4J
+    round trips per construction)."""
     start = timestamp - dt.timedelta(hours=hours)
-    return (ts_col >= F.lit(start)) & (ts_col <= F.lit(timestamp))
+    return f"{ts_col} >= {_ts_lit(start)} AND {ts_col} <= {_ts_lit(timestamp)}"
 
 
 def recent_tweets(
@@ -62,32 +71,31 @@ def recent_tweets(
     - Q4/Q5 use `IS NOT TRUE` — NULL rows are KEPT (data_base.py:370-376).
     - Q6 `deleted_at IS NULL` (data_base.py:378-380).
     """
-    df = tweets.filter(_time_window(F.col(time_col), timestamp, hours))
+    conds = [_time_window(time_col, timestamp, hours)]
 
     if bounding_box is not None:
-        df = df.filter(
-            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
-        )
+        conds.append(inbounds_half_open("longitude", "latitude", bounding_box))
 
+    if place_type is not None:
+        types = ", ".join(sql_str(t) for t in place_type)
+    hc = "TRUE" if has_coords else "FALSE"
     if place_type_or_coords and place_type is not None and has_coords is not None:
-        df = df.filter(
-            F.col("place_type").isin(place_type)
-            | F.col("has_coords").eqNullSafe(F.lit(has_coords))
-        )
+        conds.append(f"place_type IN ({types}) OR has_coords <=> {hc}")
     else:
         if place_type is not None:
-            df = df.filter(F.col("place_type").isin(place_type))
+            conds.append(f"place_type IN ({types})")
         if has_coords is not None:
-            df = df.filter(F.col("has_coords").eqNullSafe(F.lit(has_coords)))
+            conds.append(f"has_coords <=> {hc}")
 
     if not include_quote_status:
         # IS NOT TRUE keeps NULLs — not the same as == False
-        df = df.filter(~F.col("is_quote_status").eqNullSafe(F.lit(True)))
+        conds.append("NOT (is_quote_status <=> TRUE)")
     if not include_reply_status:
-        df = df.filter(~F.col("is_reply_status").eqNullSafe(F.lit(True)))
+        conds.append("NOT (is_reply_status <=> TRUE)")
     if not include_deleted_status:
-        df = df.filter(F.col("deleted_at").isNull())
+        conds.append("deleted_at IS NULL")
 
+    df = tweets.filter(" AND ".join(f"({c})" for c in conds))
     return df.orderBy(F.desc(time_col)) if ordered else df
 
 
@@ -99,12 +107,10 @@ def count_tweets(
     time_col: str = "created_at",
 ) -> DataFrame:
     """A1: scalar count with Q1 + Q2 filters (reference data_base.py:276-305)."""
-    df = tweets.filter(_time_window(F.col(time_col), timestamp, hours))
+    cond = _time_window(time_col, timestamp, hours)
     if bounding_box is not None:
-        df = df.filter(
-            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
-        )
-    return df.agg(F.count("status_id_str").alias("n_tweets"))
+        cond += " AND " + inbounds_half_open("longitude", "latitude", bounding_box)
+    return tweets.filter(cond).agg(F.expr("count(status_id_str) AS n_tweets"))
 
 
 def recent_events(
@@ -116,12 +122,11 @@ def recent_events(
 ) -> DataFrame:
     """Q7: time window + `event_type IN (...) OR event_type IS NULL`
     (reference data_base.py:90-116), newest-first (O2)."""
-    df = events.filter(_time_window(F.col(time_col), timestamp, hours))
+    cond = _time_window(time_col, timestamp, hours)
     if event_type is not None:
-        df = df.filter(
-            F.col("event_type").isin(event_type) | F.col("event_type").isNull()
-        )
-    return df.orderBy(F.desc(time_col))
+        types = ", ".join(sql_str(t) for t in event_type)
+        cond = f"({cond}) AND (event_type IN ({types}) OR event_type IS NULL)"
+    return events.filter(cond).orderBy(F.desc(time_col))
 
 
 def event_by_id(events: DataFrame, event_id: int, id_col: str = "id") -> DataFrame:
@@ -137,9 +142,7 @@ def most_recent_tweet(
     """W4/O3 global top-1 by time desc (reference data_base.py:401-416)."""
     df = tweets
     if bounding_box is not None:
-        df = df.filter(
-            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
-        )
+        df = df.filter(inbounds_half_open("longitude", "latitude", bounding_box))
     return df.orderBy(F.desc(time_col)).limit(1)
 
 
@@ -151,7 +154,5 @@ def oldest_tweet(
     """O3 global top-1 by time asc (reference data_base.py:384-399)."""
     df = tweets
     if bounding_box is not None:
-        df = df.filter(
-            inbounds_half_open(F.col("longitude"), F.col("latitude"), bounding_box)
-        )
+        df = df.filter(inbounds_half_open("longitude", "latitude", bounding_box))
     return df.orderBy(F.asc(time_col)).limit(1)

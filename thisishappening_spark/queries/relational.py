@@ -15,6 +15,15 @@ from pyspark.sql.window import Window
 from thisishappening_spark.registry import dec, dsum, query
 from thisishappening_spark.sources.tables import load_table
 
+# Shared decimal-exact revenue term (the oracle SQL twin appears in each
+# query's oracle string): quantize price and (1 - discount) to
+# DECIMAL(18,2), multiply into DECIMAL(18,4). Kept as a parsed string —
+# the Column-operator form cost ~40 Py4J round trips per use (r21).
+_REVENUE_DEC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+)
+
 
 # ---------------------------------------------------------------------------
 # Relational core: scans, filters, aggregation (SURVEY §2.2 Q1/Q2, §2.4 A1)
@@ -50,21 +59,30 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, not rows. Filter and 7-column projection push to parquet.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    price = dec(F.col("l_extendedprice"))
-    disc_price = (price * dec(F.lit(1) - F.col("l_discount"))).cast("decimal(18,4)")
-    charge = (disc_price * dec(F.lit(1) + F.col("l_tax"))).cast("decimal(18,6)")
+    # Parsed-string twins of the oracle SQL above — identical decimal
+    # quantization chain, built in one round trip per aggregate instead of
+    # ~570 for the Column-operator form (r21 construction profile).
+    disc_price = (
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+    )
+    charge = f"CAST({disc_price} * CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))"
+
+    def dsum_s(col: str) -> str:
+        return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        li.filter("l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
-            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
-            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(f"{dsum_s('l_quantity')} AS sum_qty"),
+            F.expr(f"{dsum_s('l_extendedprice')} AS sum_base_price"),
+            F.expr(f"CAST(SUM({disc_price}) AS DOUBLE) AS sum_disc_price"),
+            F.expr(f"CAST(SUM({charge}) AS DOUBLE) AS sum_charge"),
+            F.expr(f"{dsum_s('l_quantity')} / count(1) AS avg_qty"),
+            F.expr(f"{dsum_s('l_extendedprice')} / count(1) AS avg_price"),
+            F.expr(f"{dsum_s('l_discount')} / count(1) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -96,21 +114,18 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     if both tables are bucketed by orderkey in a real deployment. Top-k is
     TakeOrderedAndProject: per-partition heap, no global sort.
     """
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    c = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+        "o_orderdate < TIMESTAMP '1998-03-15 00:00:00'"
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+        "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"
     )
-    revenue = (
-        dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount"))
-    ).cast("decimal(18,4)")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        c.join(o, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("l_orderkey = o_orderkey"))
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.expr(f"CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -144,24 +159,21 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    revenue = (
-        dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount"))
-    ).cast("decimal(18,4)")
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        c.join(o, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("l_orderkey = o_orderkey"))
+        .join(s, F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"))
+        .join(n, F.expr("s_nationkey = n_nationkey"))
+        .join(r, F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.expr(f"CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue"))
     )
 
 
@@ -227,11 +239,11 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2-style count/min/max/sum + count-distinct over the stream table."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.min("value").cast("double").alias("min_value"),
-        F.max("value").cast("double").alias("max_value"),
-        dsum(F.col("value")).alias("sum_value"),
+        F.expr("count(1) AS n_events"),
+        F.expr("count(DISTINCT user_id) AS n_users"),
+        F.expr("CAST(min(value) AS DOUBLE) AS min_value"),
+        F.expr("CAST(max(value) AS DOUBLE) AS max_value"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"),
     )
 
 
@@ -289,12 +301,12 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k via row_number (O4 keep-N-rows pattern, data_base.py:464-482)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") <= 3) & (F.col("o_custkey") < 100))
-        .select("o_custkey", "o_orderkey", "rnk")
-    )
+    return o.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rnk",
+    ).filter("rnk <= 3 AND o_custkey < 100")
 
 
 @query(
@@ -314,14 +326,17 @@ def q_window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataF
 def q_window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() window — the J3 current-vs-previous-window comparison pattern."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     return (
-        ev.withColumn("delta", F.abs(F.col("value") - F.lag("value").over(w)))
-        .filter(F.col("delta").isNotNull() & (F.col("user_id") < 30))
+        ev.selectExpr(
+            "user_id",
+            "abs(value - lag(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts_ns, event_id)) AS delta",
+        )
+        .filter("delta IS NOT NULL AND user_id < 30")
         .groupBy("user_id")
         .agg(
-            dsum(F.col("delta")).alias("sum_abs_delta"),
-            F.count(F.lit(1)).alias("n_deltas"),
+            F.expr("CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS sum_abs_delta"),
+            F.expr("count(1) AS n_deltas"),
         )
     )
 
@@ -417,12 +432,17 @@ def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     `mode()` so the oracle compare is stable.
     """
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    counts = ev.groupBy("user_id", "event_type").agg(F.expr("count(1) AS c"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") == 1) & (F.col("user_id") < 25))
-        .select("user_id", F.col("event_type").alias("top_type"), F.col("c").alias("n"))
+        counts.selectExpr(
+            "user_id",
+            "event_type",
+            "c",
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY c DESC, event_type) AS rnk",
+        )
+        .filter("rnk = 1 AND user_id < 25")
+        .selectExpr("user_id", "event_type AS top_type", "c AS n")
     )
 
 
@@ -437,15 +457,12 @@ def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_collect_sorted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/O6 collect_list + sort desc (reference get_status_ids tweet_utils.py:586-594,
     sort at :718)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    ev = load_table(spark, sf_dir, "events").filter("event_type = 'signup'")
     return ev.groupBy("user_id").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.sort_array(F.collect_list("event_id"), asc=False),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("ids")
+        F.expr(
+            "concat_ws(',', transform(sort_array(collect_list(event_id), false), "
+            "x -> CAST(x AS STRING))) AS ids"
+        )
     )
 
 
@@ -475,13 +492,13 @@ def q_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            "ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-12 00:00:00'"
         )
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_bucket"))
+        .groupBy(F.expr("date_trunc('hour', ts) AS hour_bucket"))
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value")).alias("sum_value"),
+            F.expr("count(1) AS n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"),
         )
     )
 
@@ -511,21 +528,16 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, and shuffles only day-level counts.
     """
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
+    day = "date_trunc('day', ts)"
     # (anchor-24h, anchor]: an event at exactly midnight belongs to its own
     # day-start anchor (closed upper bound); all others to the next one.
-    contrib = F.when(F.col("ts") == day, day).otherwise(
-        day + F.expr("INTERVAL 24 HOURS")
+    contrib = f"CASE WHEN ts = {day} THEN {day} ELSE {day} + INTERVAL 24 HOURS END"
+    per_day = ev.groupBy(F.expr(f"{contrib} AS anchor")).agg(
+        F.expr("count(event_id) AS cnt")
     )
-    per_day = ev.groupBy(contrib.alias("anchor")).agg(
-        F.count(F.col("event_id")).alias("cnt")
-    )
-    anchors = ev.select(day.alias("anchor")).distinct()
-    return (
-        anchors.join(F.broadcast(per_day), "anchor", "left")
-        .select(
-            "anchor", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_last_24h")
-        )
+    anchors = ev.select(F.expr(f"{day} AS anchor")).distinct()
+    return anchors.join(F.broadcast(per_day), "anchor", "left").selectExpr(
+        "anchor", "coalesce(cnt, CAST(0 AS BIGINT)) AS n_last_24h"
     )
 
 

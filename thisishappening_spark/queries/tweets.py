@@ -151,27 +151,28 @@ def q_count_tweets_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping ranges 4× per trigger; one pass with per-window CASE
     counts reads each row exactly once and needs no shuffle beyond a
     single-row reduce."""
-    from thisishappening_spark.functions.geo import inbounds_half_open
-
     tw = load_tweets(spark, sf_dir)
 
-    def win(start: str, end: str):
-        cond = (F.col("created_at") >= F.lit(start).cast("timestamp")) & (
-            F.col("created_at") <= F.lit(end).cast("timestamp")
+    # Parsed-string form of the same filter + conditional counts (the
+    # Column form cost ~720 Py4J round trips per construction, r21); the
+    # strings deliberately mirror the oracle SQL above. `{x!r}D` renders
+    # the bbox float as a DOUBLE literal, matching F.lit(float) typing.
+    def win(start: str, end: str) -> str:
+        return (
+            f"count(CASE WHEN created_at >= TIMESTAMP '{start}' "
+            f"AND created_at <= TIMESTAMP '{end}' THEN status_id_str END)"
         )
-        return F.count(F.when(cond, F.col("status_id_str")))
 
-    return (
-        tw.filter(
-            (F.col("created_at") >= F.lit("2024-01-08 12:00:00").cast("timestamp"))
-            & (F.col("created_at") <= F.lit("2024-01-10 12:00:00").cast("timestamp"))
-            & inbounds_half_open(F.col("longitude"), F.col("latitude"), BBOX)
-        ).agg(
-            win("2024-01-10 11:00:00", "2024-01-10 12:00:00").alias("n_curr_hour"),
-            win("2024-01-10 10:00:00", "2024-01-10 11:00:00").alias("n_prev_hour"),
-            win("2024-01-09 12:00:00", "2024-01-10 12:00:00").alias("n_curr_day"),
-            win("2024-01-08 12:00:00", "2024-01-09 12:00:00").alias("n_prev_day"),
-        )
+    return tw.filter(
+        "created_at >= TIMESTAMP '2024-01-08 12:00:00' "
+        "AND created_at <= TIMESTAMP '2024-01-10 12:00:00' "
+        f"AND longitude >= {BBOX.west!r}D AND longitude < {BBOX.east!r}D "
+        f"AND latitude >= {BBOX.south!r}D AND latitude < {BBOX.north!r}D"
+    ).agg(
+        F.expr(win("2024-01-10 11:00:00", "2024-01-10 12:00:00") + " AS n_curr_hour"),
+        F.expr(win("2024-01-10 10:00:00", "2024-01-10 11:00:00") + " AS n_prev_hour"),
+        F.expr(win("2024-01-09 12:00:00", "2024-01-10 12:00:00") + " AS n_curr_day"),
+        F.expr(win("2024-01-08 12:00:00", "2024-01-09 12:00:00") + " AS n_prev_day"),
     )
 
 
