@@ -148,8 +148,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle meet; the stop-shingle cap (df ≤ 100) bounds the pair fan-out
     a hot shingle could otherwise create; Jaccard is an exact BIGINT
     ratio (no quantization).
+
+    fan_out: the interpreted shingle transform fuses into the scan stage,
+    so a narrow parquet layout (fewer row groups than cores) serializes it
+    — redistribute first (r21; no-op on production-sized inputs).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.jaccard_pairs(
         docs, n=3, threshold=0.5, max_shingle_df=JACCARD_MAX_SHINGLE_DF
     )
@@ -188,8 +192,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-pairs comparison. Dictionary-ID hashing here is the
     differential-testing mode; ``hash_mode='xxhash64'`` is the
     dictionary-free scale path (pytest-covered).
+
+    fan_out: same rationale as q_ngram_jaccard_pairs — the shingle
+    transform (traversed once per dictionary/join consumer) must not run
+    on a layout-serialized scan (r21).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.minhash_lsh_pairs(docs, hash_mode="dictionary")
 
 
@@ -275,8 +283,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: queries broadcast; dot product is a fused zip_with/aggregate
     array pass in codegen; decimal-quantized terms make Spark and DuckDB
     bit-identical before the final IEEE sqrt/divide/round.
+
+    fan_out: the decimal dot products (interpreted HOF, the dominant
+    per-row cost) fuse into the corpus scan, so a narrow parquet layout
+    serializes them — redistribute first (r21; no-op at production row-
+    group counts). ann_lsh_topk deliberately does NOT fan out: its scan
+    stage only feeds the cheap Arrow signature UDF and the added exchange
+    measured net-negative (A/B medians 1.51 vs 2.11 s).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     df = similarity.cosine_topk(emb, COSINE_QUERY_IDS, k=3)
     return df.withColumn("rank", F.col("rank").cast("int"))
 

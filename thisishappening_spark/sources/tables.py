@@ -50,16 +50,67 @@ _RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]"
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Load one table. With ``fan_out=True``, redistribute the scan when the
+    parquet layout caps its parallelism below the session's default
+    parallelism (see :func:`_fan_out_narrow_scan`) — opt in ONLY where heavy
+    per-row work sits directly on the scan, because the redistribution is a
+    full pass of the table through one round-robin exchange."""
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = f"{path}::fan_out" if fan_out else path
     try:
         per_session = _RELATION_CACHE.setdefault(spark, {})
     except TypeError:  # a SparkSession proxy that cannot be weakly referenced
         per_session = {}
-    df = per_session.get(path)
+    df = per_session.get(key)
     if df is None:
-        df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
-        per_session[path] = df
+        df = per_session.get(path)
+        if df is None:
+            df = (
+                _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+            )
+            per_session[path] = df
+        if fan_out:
+            df = _fan_out_narrow_scan(spark, path, df)
+            per_session[key] = df
+    return df
+
+
+def _scan_row_groups(path: str) -> int:
+    """Total parquet row-group count across the table's files — the hard
+    upper bound on Spark's scan parallelism (one row group is always read
+    by a single task, however the byte ranges are split). Driver-side
+    footer read via pyarrow; no Spark job."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).num_row_groups for f in files)
+
+
+def _fan_out_narrow_scan(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Round-robin-redistribute a scan whose parquet layout serializes it.
+
+    The guide's input-skew rule (§2.5 "one huge unsplittable file …
+    otherwise repartition immediately after the read") applied to row
+    groups: a file with fewer row groups than the session has cores cannot
+    scan in parallel, so everything fused into the scan stage (interpreted
+    higher-order transforms, decimal arithmetic, map-side partials) runs
+    on the narrow task set too. Scale-adaptive by construction: the target
+    is ``defaultParallelism`` (cores locally, cluster cores at scale — NOT
+    a constant), and a production-sized input with ≥ that many row groups
+    is returned untouched, so at 100 TB this is a no-op and the exchange
+    only ever exists where the input layout was the bottleneck."""
+    if _scan_row_groups(path) < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
