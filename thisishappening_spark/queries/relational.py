@@ -274,8 +274,13 @@ def q_setop_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-set aggregation (engine surface beyond reference, SURVEY §2.4)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Grouping-set aggregation (engine surface beyond reference, SURVEY §2.4).
+
+    fan_out: rollup's Expand triples the rows feeding the decimal partial
+    aggregation, all fused into the scan stage — a narrow parquet layout
+    serializes that 3× work (r21; no-op on production row-group counts).
+    """
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_extendedprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n_rows"),
