@@ -62,3 +62,65 @@ def test_fan_out_is_noop_when_row_groups_cover_parallelism(spark, sf_dir, tmp_pa
     fanned = load_table(spark, other, "documents", fan_out=True)
     plan = fanned._jdf.queryExecution().analyzed().toString()
     assert "Repartition" not in plan, "wide layout must not be redistributed"
+
+
+def test_scan_row_groups_short_circuits_on_file_count(tmp_path, monkeypatch):
+    """A table with >= threshold parquet files must be classified 'wide'
+    from the file count ALONE — zero footer reads (VERDICT r21 item 2:
+    at 100 TB a fan-out table has thousands of files and a per-file
+    driver-side footer scan is itself the scale hazard)."""
+    import pyarrow.parquet as pq
+
+    from thisishappening_spark.sources.tables import _scan_row_groups
+
+    d = tmp_path / "many.parquet"
+    d.mkdir()
+    for i in range(8):
+        (d / f"part-{i}.parquet").write_bytes(b"not read")
+
+    def boom(*a, **k):
+        raise AssertionError("footer read attempted despite file-count short-circuit")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    assert _scan_row_groups(str(d), threshold=8) == 8
+    assert _scan_row_groups(str(d), threshold=3) == 3
+
+
+def test_scan_row_groups_counts_nested_layouts(spark, sf_dir, tmp_path):
+    """A partitioned/nested layout (files under subdirectories) must be
+    counted recursively — r21's top-level listing returned 0 and fanned
+    out a production-shaped input (ADVICE r21)."""
+    from thisishappening_spark.sources.tables import _scan_row_groups
+
+    base = load_table(spark, sf_dir, "documents")
+    nested = tmp_path / "nested.parquet"
+    base.limit(10).write.mode("overwrite").parquet(str(nested / "lang=en"))
+    base.limit(10).write.mode("overwrite").parquet(str(nested / "lang=fr"))
+    assert _scan_row_groups(str(nested), threshold=2) == 2
+
+
+def test_scan_row_groups_noops_on_non_posix_paths():
+    """Object-store URIs cannot be os.walk'ed: treat them as wide (no
+    fan-out) instead of crashing or misfiring."""
+    from thisishappening_spark.sources.tables import _scan_row_groups
+
+    assert _scan_row_groups("s3://bucket/table.parquet", threshold=32) == 32
+    assert _scan_row_groups("/no/such/path.parquet", threshold=32) == 32
+
+
+def test_invalidate_relation_cache_picks_up_rewritten_data(spark, sf_dir, tmp_path):
+    """The cache pins the file listing per path (catalog-like staleness,
+    ADVICE r21); invalidate_relation_cache must make the next load re-list."""
+    from thisishappening_spark.sources.tables import invalidate_relation_cache
+
+    other = str(tmp_path / "sfMut")
+    base = load_table(spark, sf_dir, "documents")
+    base.limit(3).write.mode("overwrite").parquet(f"{other}/documents.parquet")
+    first = load_table(spark, other, "documents")
+    assert first.count() == 3
+
+    base.limit(5).write.mode("overwrite").parquet(f"{other}/documents.parquet")
+    invalidate_relation_cache(spark, other)
+    fresh = load_table(spark, other, "documents")
+    assert fresh is not first, "invalidate must drop the pinned relation"
+    assert fresh.count() == 5

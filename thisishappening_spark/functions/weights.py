@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from thisishappening_spark.sqlexpr import flit, sql_str
+from thisishappening_spark.sqlexpr import flit, ident, sql_str
 
 
 def compute_weight(weight: str, x: str, factor: float | None) -> str:
@@ -63,6 +63,15 @@ def with_activity_weight(
     created_at sort (the reference relies on Python stable sort of
     insertion order; a distributed engine needs an explicit key).
     """
+    # Caller-supplied column names interpolate into parsed SQL, so quote
+    # them (ADVICE r21): names needing backticks (spaces, hyphens, reserved
+    # words) worked under F.col() and must keep working under the string
+    # convention. ident() resolves to the identical attribute.
+    user_col, time_col = ident(user_col), ident(time_col)
+    lon_col, lat_col = ident(lon_col), ident(lat_col)
+    has_coords_col = ident(has_coords_col)
+    order_cols = tuple(ident(o) for o in order_cols)
+
     w = flit(1.0)
 
     if weighted and reduce_weight_lon_lat and weight_factor_lon_lat is not None:

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from thisishappening_spark.functions.geo import BoundingBox, inbounds_closed
-from thisishappening_spark.sqlexpr import flit, sql_str
+from thisishappening_spark.sqlexpr import flit, in_list, sql_str
 
 
 @dataclass(frozen=True)
@@ -126,9 +126,11 @@ def admission_check_exprs(cfg: AdmissionConfig) -> dict[str, str]:
             f"NOT coalesce({c.quoted_text}, '') RLIKE {pat}"
         )
 
-    # P5 valid_location: coords OR whitelisted place type (tweet_utils.py:247-250)
-    types = ", ".join(sql_str(t) for t in cfg.valid_place_types)
-    checks["valid_location"] = f"{c.has_coords} OR {c.place_type} IN ({types})"
+    # P5 valid_location: coords OR whitelisted place type (tweet_utils.py:247-250).
+    # in_list compiles an empty whitelist to FALSE (isin([]) semantics) —
+    # a bare `IN ()` is a ParseException (ADVICE r21).
+    types_pred = in_list(c.place_type, [sql_str(t) for t in cfg.valid_place_types])
+    checks["valid_location"] = f"{c.has_coords} OR {types_pred}"
 
     # P6 screen-name regex blocklist, case-insensitive substring search
     # (tweet_utils.py:252-257)
@@ -138,8 +140,8 @@ def admission_check_exprs(cfg: AdmissionConfig) -> dict[str, str]:
 
     # P7 user-id blocklist (tweet_utils.py:259)
     if cfg.ignore_user_id_str:
-        ids = ", ".join(sql_str(i) for i in cfg.ignore_user_id_str)
-        checks["valid_user_id"] = f"NOT {c.user_id_str} IN ({ids})"
+        ids_pred = in_list(c.user_id_str, [sql_str(i) for i in cfg.ignore_user_id_str])
+        checks["valid_user_id"] = f"NOT {ids_pred}"
 
     # P8 exact-coordinate blocklist (tweet_utils.py:261-270)
     if cfg.ignore_lon_lat:

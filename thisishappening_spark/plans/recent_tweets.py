@@ -22,12 +22,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from thisishappening_spark.functions.geo import BoundingBox, inbounds_half_open
-from thisishappening_spark.sqlexpr import sql_str
+from thisishappening_spark.sqlexpr import in_list, sql_str
 
 
 def _ts_lit(t: dt.datetime) -> str:
-    """A naive datetime as a TIMESTAMP literal — same value F.lit(datetime)
-    produced under the pinned-UTC session."""
+    """A datetime as a TIMESTAMP literal — same value F.lit(datetime)
+    produced under the pinned-UTC session. Aware datetimes are converted
+    to their UTC wall time first (ADVICE r21): formatting the naive field
+    values of a non-UTC aware datetime would silently shift the window by
+    the offset, where F.lit converted correctly."""
+    if t.tzinfo is not None:
+        t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
     return f"TIMESTAMP '{t:%Y-%m-%d %H:%M:%S.%f}'"
 
 
@@ -77,13 +82,15 @@ def recent_tweets(
         conds.append(inbounds_half_open("longitude", "latitude", bounding_box))
 
     if place_type is not None:
-        types = ", ".join(sql_str(t) for t in place_type)
+        # in_list renders an empty list as FALSE (isin([]) semantics) —
+        # `IN ()` is a ParseException (ADVICE r21).
+        types_pred = in_list("place_type", [sql_str(t) for t in place_type])
     hc = "TRUE" if has_coords else "FALSE"
     if place_type_or_coords and place_type is not None and has_coords is not None:
-        conds.append(f"place_type IN ({types}) OR has_coords <=> {hc}")
+        conds.append(f"{types_pred} OR has_coords <=> {hc}")
     else:
         if place_type is not None:
-            conds.append(f"place_type IN ({types})")
+            conds.append(types_pred)
         if has_coords is not None:
             conds.append(f"has_coords <=> {hc}")
 
@@ -124,8 +131,8 @@ def recent_events(
     (reference data_base.py:90-116), newest-first (O2)."""
     cond = _time_window(time_col, timestamp, hours)
     if event_type is not None:
-        types = ", ".join(sql_str(t) for t in event_type)
-        cond = f"({cond}) AND (event_type IN ({types}) OR event_type IS NULL)"
+        types_pred = in_list("event_type", [sql_str(t) for t in event_type])
+        cond = f"({cond}) AND ({types_pred} OR event_type IS NULL)"
     return events.filter(cond).orderBy(F.desc(time_col))
 
 

@@ -276,11 +276,16 @@ def q_setop_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-set aggregation (engine surface beyond reference, SURVEY §2.4).
 
-    fan_out: rollup's Expand triples the rows feeding the decimal partial
-    aggregation, all fused into the scan stage — a narrow parquet layout
-    serializes that 3× work (r21; no-op on production row-group counts).
+    fan_out REVERTED (r22): r21 fanned this scan out (Expand triples the
+    decimal partial-agg rows). The driver's ground truth measured it 0.83×
+    (0.99 → 1.19 s), and unlike the documents/embeddings sites the cost is
+    mechanistically plausible here — lineitem is 18× larger than the other
+    fanned tables, so the round-robin exchange moves ~10 MB plus the
+    sort-before-repartition of 600 k rows. The r22 cold-session A/B margin
+    (min 0.93 vs 1.04 s over 8 interleaved rounds per side) was within
+    noise, so the driver's number stands and the exchange is dropped.
     """
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_extendedprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n_rows"),

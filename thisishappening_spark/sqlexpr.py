@@ -21,6 +21,22 @@ def sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into parsed SQL
+    (embedded backticks escape by doubling, Spark's rule). Caller-supplied
+    names (config column bindings) may contain spaces, hyphens or reserved
+    words that ``F.col()`` accepted but a bare interpolation would
+    mis-parse; the quoted form resolves to the identical attribute."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def in_list(col: str, rendered: list[str]) -> str:
+    """``col IN (...)`` over pre-rendered literals, with the empty list
+    compiling to ``FALSE`` — the always-false predicate
+    ``Column.isin([])`` produced, where ``IN ()`` is a ParseException."""
+    return f"{col} IN ({', '.join(rendered)})" if rendered else "FALSE"
+
+
 def flit(x: float) -> str:
     """Render a Python float as a Spark-SQL DOUBLE literal (the ``D``
     suffix), matching ``F.lit(<float>)`` typing — a bare ``-71.15`` would
