@@ -43,7 +43,7 @@ the brief's training-pipeline surface (SURVEY.md §2 extension).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Modulus and fixed (a, b) parameters for the MinHash permutation family
@@ -156,19 +156,74 @@ def doc_shingles(
     return base.select("doc_id", F.expr(f"explode({grams}) AS shingle"))
 
 
+# Bucket width (in characters) for the two-phase dictionary rank. A fixed-
+# length character prefix is ORDER-PRESERVING under Spark's default
+# UTF8-binary collation (s < t ⇒ prefix_k(s) ≤ prefix_k(t), since UTF-8
+# byte order equals codepoint order), so sorting (bucket, key) equals
+# sorting key — which is what makes the per-bucket row_number + cross-bucket
+# offset reconstruction exact. 4 chars keeps the bucket-count table tiny
+# (≤ distinct 4-prefixes) while spreading a web-scale dictionary over
+# ~10⁵ buckets.
+DICT_BUCKET_CHARS = 4
+
+
+def ranked_dictionary(keys: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """(key, id) with id = 1-based rank of the key among the distinct keys
+    in sorted order — the same value ``row_number() OVER (ORDER BY key)``
+    assigns, WITHOUT a single-partition sort of the dictionary.
+
+    The r21 verdict flagged the global-window rank as the one remaining
+    scale-killer-shaped node in the dictionary hash mode (a row_number
+    over a Window with no PARTITION BY is a single-partition Exchange +
+    Sort of every distinct key). Two-phase replacement (guide §2.2/§2.5 —
+    parallelize the sort, shuffle only metadata for the cross-partition
+    fix-up):
+
+    1. bucket = first ``DICT_BUCKET_CHARS`` chars of the key (order-
+       preserving, deterministic — unlike range partitioning, whose
+       sampled boundaries would add a sampling job);
+    2. ``row_number() OVER (PARTITION BY bucket ORDER BY key)`` — the big
+       sort now runs one task per bucket;
+    3. global offset per bucket = running sum of bucket sizes in bucket
+       order — a window over the tiny bucket-COUNT table (O(buckets)
+       rows, the only remaining single-partition step), broadcast back;
+    4. id = offset + per-bucket row number.
+
+    Both consumers of the distinct-key exchange (the per-bucket rank and
+    the bucket counts) read the identical subtree, so the physical planner
+    reuses one shuffle (same ReusedExchange pattern jaccard_pairs pins).
+    """
+    b = f"substring({key_col}, 1, {DICT_BUCKET_CHARS})"
+    rw = keys.select(key_col).distinct().selectExpr(
+        key_col,
+        f"{b} AS __b",
+        f"row_number() OVER (PARTITION BY {b} ORDER BY {key_col}) AS __r",
+        # bucket size in the same (partitioning, sort) window pass — the
+        # per-bucket head row (__r = 1) then carries everything the offset
+        # table needs, so no separate count aggregation (and its exchange).
+        f"count(1) OVER (PARTITION BY {b}) AS __c",
+    )
+    offs = rw.filter("__r = 1").selectExpr(
+        "__b",
+        "(sum(__c) OVER (ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) - __c) AS __off",
+    )
+    return rw.join(F.broadcast(offs), "__b").selectExpr(
+        key_col, f"CAST(__off + __r AS INT) AS {id_col}"
+    )
+
+
 def shingle_dictionary(shingles: DataFrame) -> DataFrame:
     """(shingle, sid) with sid = rank of the shingle in sorted order.
 
     Deterministic-integer IDs so the SQL oracle can reproduce MinHash
-    exactly. The global row_number sorts only *distinct* shingles; for the
+    exactly. Ranked by the two-phase bucketed rank (see
+    :func:`ranked_dictionary`) — identical ids to the old global
+    row_number, no single-partition sort of the dictionary. For the
     non-differential scale path use ``hash_mode='xxhash64'`` in
     :func:`minhash_signatures` and skip the dictionary entirely.
     """
-    return (
-        shingles.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
-    )
+    return ranked_dictionary(shingles, "shingle", "sid")
 
 
 def _shingle_ids(shingles: DataFrame, hash_mode: str) -> DataFrame:
@@ -400,11 +455,7 @@ def simhash(
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     if hash_mode == "dictionary":
-        d = (
-            toks.select("tok")
-            .distinct()
-            .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
-        )
+        d = ranked_dictionary(toks, "tok", "tid")
         ids = toks.join(d, "tok").select("doc_id", "tid")
     elif hash_mode == "xxhash64":
         ids = toks.select("doc_id", F.expr(f"pmod(xxhash64(tok), {MINHASH_P}) AS tid"))

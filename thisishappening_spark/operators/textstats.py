@@ -12,7 +12,7 @@ fingerprinting); the reference app itself has no document corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Minimal English function-word list for the stopword-ratio heuristic.
@@ -168,11 +168,9 @@ def doc_fingerprint(
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
     if hash_mode == "dictionary":
-        d = (
-            toks.select("tok")
-            .distinct()
-            .withColumn("tid", F.row_number().over(Window.orderBy("tok")))
-        )
+        from thisishappening_spark.operators.dedup import ranked_dictionary
+
+        d = ranked_dictionary(toks, "tok", "tid")
         ids = toks.join(d, "tok").select("doc_id", "pos", "tid")
     elif hash_mode == "xxhash64":
         ids = toks.select(

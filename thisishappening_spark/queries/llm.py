@@ -152,6 +152,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out: the interpreted shingle transform fuses into the scan stage,
     so a narrow parquet layout (fewer row groups than cores) serializes it
     — redistribute first (r21; no-op on production-sized inputs).
+    Re-validated r22 under cold-session interleaved A/B (6 rounds/side):
+    kept — medians a wash (2.97 vs 2.84 s), min-of-all favors fan-out
+    (1.60 vs 2.17 s); here the exchange is paid once and the whole heavy
+    postings pipeline sits above it.
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.jaccard_pairs(
@@ -193,11 +197,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential-testing mode; ``hash_mode='xxhash64'`` is the
     dictionary-free scale path (pytest-covered).
 
-    fan_out: same rationale as q_ngram_jaccard_pairs — the shingle
-    transform (traversed once per dictionary/join consumer) must not run
-    on a layout-serialized scan (r21).
+    fan-out: REVERTED r22. The r21 round-robin exchange before the shingle
+    transform measured 0.66× in the driver's environment; the r22
+    cold-session interleaved A/B (6 rounds/side, fresh JVM, bench
+    methodology) confirmed it: fan-out median-of-medians 8.67 s vs 3.57 s
+    without, min-of-all 3.82 vs 2.53 s. Unlike q_ngram_jaccard_pairs this
+    plan traverses the shingle subtree twice (ids + dictionary sides), so
+    the full-pass exchange is paid twice but the narrow-scan serialization
+    it fixes is amortized over less downstream work per pass.
     """
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, hash_mode="dictionary")
 
 
