@@ -203,19 +203,27 @@ def ann_lsh_topk(
     of the L·(1+probes) probed buckets used to be scored m times and
     deduped on the scores; candidates are now deduped BEFORE the exact
     rerank (measured multiplicity 3.1× on the sf0.1 fixture), so each
-    pair pays the decimal-exact dot product once. The query vectors are
-    re-attached after the dedup by a broadcast join against the plain
-    filtered scan (no LSH subtree), so the dedup exchange carries one
-    corpus vector per distinct pair instead of two vectors per collision.
+    pair pays the decimal-exact dot product once.
+
+    Dedup-exchange note (r22): the dedup used to distinct on
+    (query_id, vid, v, n2) — every collision shuffled a 64-double vector
+    plus a decimal, and the hash/compare normalized the full array per
+    row (``knownfloatingpointnormalized(transform(v, …))`` in the r21
+    plan). (v, n2) are functionally determined by vid, so the distinct
+    now runs on the bare (query_id, vid) ids — 16 bytes a row — and the
+    vectors are re-attached afterwards by an equi-join on vid against the
+    plain scan subtree (no LSH, no Python). The join is left to the
+    planner/AQE deliberately: locally the corpus side is kilobytes and
+    broadcasts; at scale AQE keeps it a shuffle join, which moves each
+    corpus vector at most once — strictly less than shuffling one vector
+    per collision. The LSH entry table itself also slims to
+    (vid, tbl, bucket): the signature UDF's stage no longer computes or
+    carries norms.
     """
     v = emb.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v"))
-    base = v.select("vid", "v", F.expr(f"{norm2_dec('v')} AS n2"))
     buckets = lsh_buckets_udf(n_tables, planes_per_table, dim)
-    ent = base.select(
-        "vid",
-        "v",
-        "n2",
-        F.posexplode(buckets(F.col("v"))).alias("tbl", "bucket"),
+    ent = v.select(
+        "vid", F.posexplode(buckets(F.col("v"))).alias("tbl", "bucket")
     )
 
     # Probe set per (query, table): the bucket itself plus all buckets
@@ -228,20 +236,25 @@ def ann_lsh_topk(
         "tbl AS q_tbl",
         f"explode(array({', '.join(probes)})) AS probe_bucket",
     )
-    cand = ent.join(
-        F.broadcast(q),
-        F.expr("tbl = q_tbl AND bucket = probe_bucket AND vid != query_id"),
+    uniq = (
+        ent.join(
+            F.broadcast(q),
+            F.expr("tbl = q_tbl AND bucket = probe_bucket AND vid != query_id"),
+        )
+        .select("query_id", "vid")
+        .distinct()
     )
-    # Dedup candidates before the exact rerank: (v, n2) are functionally
-    # determined by vid, so the distinct collapses to one row per
-    # (query_id, vid) pair and the expensive dot runs once per pair.
-    uniq = cand.select("query_id", "vid", "v", "n2").distinct()
+    base = v.select("vid", "v", F.expr(f"{norm2_dec('v')} AS n2"))
     qtab = base.filter(F.col("vid").isin(query_ids)).selectExpr(
         "vid AS query_id", "v AS qv", "n2 AS qn2"
     )
-    scored = uniq.join(F.broadcast(qtab), "query_id").selectExpr(
-        "query_id",
-        "vid AS neighbor_id",
-        f"{cosine(dot_dec('qv', 'v'), 'qn2', 'n2')} AS cos_sim",
+    scored = (
+        uniq.join(base, "vid")
+        .join(F.broadcast(qtab), "query_id")
+        .selectExpr(
+            "query_id",
+            "vid AS neighbor_id",
+            f"{cosine(dot_dec('qv', 'v'), 'qn2', 'n2')} AS cos_sim",
+        )
     )
     return _topk(scored, k)
