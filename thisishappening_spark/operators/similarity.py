@@ -52,12 +52,19 @@ def as_double_vec(col: str) -> Column:
 
 
 def dot_dec(a: str, b: str) -> str:
-    """Exact-decimal dot product: per-term quantize to DECIMAL(28,15), sum
-    in DECIMAL(38,15) — order-independent and cross-engine exact.
-    Re-casting each partial sum keeps the accumulator at DECIMAL(38,15)
-    (Spark's decimal-add widening would otherwise drift it to (38,14));
-    lossless here (64 terms, each |t| < 10^13). Returns a SQL string over
-    the named array columns."""
+    """Decimal dot product: per-term quantize to DECIMAL(28,15), then a
+    sequential left fold. NOTE (corrected r22): each step's ``acc + t`` is
+    typed DECIMAL(38,14) by Spark's precision-loss adjustment (precision
+    39 → 38 drops one scale digit, HALF_UP) BEFORE the re-CAST to (38,15),
+    so the accumulator effectively lives at 14 dp and every result's 15th
+    digit is zero — deterministic (arrays fold in element order), but NOT
+    the exact 15 dp sum the r21 docstring claimed, and ~1e-14 away from
+    the oracle's exact decimal SUM; harmless because every compared output
+    rounds to 6 dp. An Arrow-batched bit-equal twin was built and rejected
+    in r22 (OPTIMIZATION_r22.md §4): at bench scale the per-task Python
+    worker handshakes of three ArrowEvalPython stages cost far more than
+    the interpreted HOF they replace. Returns a SQL string over the named
+    array columns."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x * y AS DECIMAL(28,15))), "
         f"CAST(0 AS DECIMAL(38,15)), (acc, t) -> CAST(acc + t AS DECIMAL(38,15)))"
