@@ -57,8 +57,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: single scan, map-side partial aggregation on a tiny key
     space (|returnflag × linestatus| ≤ 9) → the shuffle moves only partial
     aggregates, not rows. Filter and 7-column projection push to parquet.
+
+    fan_out (r22): the 8-decimal partial aggregation fuses into the scan,
+    and the test lineitem layout is one row group — the whole 600 k-row
+    decimal pass ran on a single task (driver scaling ratio 1.0 at 4× the
+    cores). Redistribute first, same mechanism as the driver-confirmed
+    q_cosine_topk fan-out; no-op on production row-group counts. 12-round
+    cold-session interleaved A/B: 1.67 vs 1.93 s median-of-medians,
+    1.13 vs 1.36 s min-of-all. (q_rollup_revenue deliberately does NOT
+    fan out — its A/B was within noise and the driver measured 0.83×.)
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     # Parsed-string twins of the oracle SQL above — identical decimal
     # quantization chain, built in one round trip per aggregate instead of
     # ~570 for the Column-operator form (r21 construction profile).
