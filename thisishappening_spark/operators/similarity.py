@@ -228,13 +228,11 @@ def ann_lsh_topk(
     carries norms.
     """
     v = emb.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v"))
+    base = v.select("vid", "v", F.expr(f"{norm2_dec('v')} AS n2"))
     buckets = lsh_buckets_udf(n_tables, planes_per_table, dim)
-    ent = v.select(
-        "vid", F.posexplode(buckets(F.col("v"))).alias("tbl", "bucket")
+    ent = base.select(
+        "vid", "v", "n2", F.posexplode(buckets(F.col("v"))).alias("tbl", "bucket")
     )
-
-    # Probe set per (query, table): the bucket itself plus all buckets
-    # within the allowed Hamming radius (r=1 → planes_per_table extra).
     probes = ["bucket"]
     if multiprobe_hamming >= 1:
         probes += [f"bucket ^ {1 << j}" for j in range(planes_per_table)]
@@ -243,25 +241,31 @@ def ann_lsh_topk(
         "tbl AS q_tbl",
         f"explode(array({', '.join(probes)})) AS probe_bucket",
     )
-    uniq = (
-        ent.join(
-            F.broadcast(q),
-            F.expr("tbl = q_tbl AND bucket = probe_bucket AND vid != query_id"),
-        )
-        .select("query_id", "vid")
-        .distinct()
+    cand = ent.join(
+        F.broadcast(q),
+        F.expr("tbl = q_tbl AND bucket = probe_bucket AND vid != query_id"),
     )
-    base = v.select("vid", "v", F.expr(f"{norm2_dec('v')} AS n2"))
+    # Dedup before the rerank, keyed on the bare (query_id, vid) pair:
+    # (v, n2) are functionally determined by vid, so first() re-attaches
+    # the same values the r21 distinct-on-all-four-columns kept, but the
+    # grouping hashes/compares two longs instead of normalizing a
+    # 64-double array per collision row
+    # (knownfloatingpointnormalized(transform(v, …)) in the r21 plan).
+    # r22 A/B (8 rounds/side): 1.99/1.28 vs 1.94/1.39 med-of-med/min —
+    # a wash on medians, min favors this; bit-identical at three SFs. An
+    # ids-only distinct + corpus re-join variant was also built and
+    # rejected (consistent ~0.85× locally: the extra join stage cost more
+    # than the slimmer exchange saved, and selective probing favors
+    # shuffling only candidate vectors at scale anyway).
+    uniq = cand.groupBy("query_id", "vid").agg(
+        F.first("v").alias("v"), F.first("n2").alias("n2")
+    )
     qtab = base.filter(F.col("vid").isin(query_ids)).selectExpr(
         "vid AS query_id", "v AS qv", "n2 AS qn2"
     )
-    scored = (
-        uniq.join(base, "vid")
-        .join(F.broadcast(qtab), "query_id")
-        .selectExpr(
-            "query_id",
-            "vid AS neighbor_id",
-            f"{cosine(dot_dec('qv', 'v'), 'qn2', 'n2')} AS cos_sim",
-        )
+    scored = uniq.join(F.broadcast(qtab), "query_id").selectExpr(
+        "query_id",
+        "vid AS neighbor_id",
+        f"{cosine(dot_dec('qv', 'v'), 'qn2', 'n2')} AS cos_sim",
     )
     return _topk(scored, k)
